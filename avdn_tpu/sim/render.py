@@ -1,0 +1,205 @@
+"""On-device view renderer — the "drone camera".
+
+Replaces the reference's per-sample host-side OpenCV pipeline
+(``cv2.getPerspectiveTransform`` + ``cv2.warpPerspective`` per item per step,
+src/env.py:254-332) with a batched XLA formulation:
+
+* a 4-point DLT homography solve (B, 8, 8) on device,
+* an inverse-mapped bilinear gather over an HBM-resident map bank,
+* an *analytic* human-attention saliency render — instead of rasterising GT
+  attention circles into a second full-map image and warping it
+  (src/env.py:224-231, 292-293), each output pixel's source coordinate is
+  tested against the circle set directly. No raster, no second warp.
+
+Per-item semantics note: the reference caches one attention raster per map
+*name*, so two batch items sharing a map silently reuse the first item's
+circles (src/env.py:212-231). Here circles are per-item, which is the
+intended behaviour; the difference only shows when a batch mixes items of
+the same map with different dialog rounds.
+
+A Pallas kernel with the same contract lives in ``avdn_tpu.ops.warp_pallas``;
+this module is the XLA reference implementation and the fallback path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+VIEW_HW = 224
+
+
+def dst_square_corners(width: int = VIEW_HW, height: int = VIEW_HW):
+    """Destination corners matching the reference order (src/env.py:275-278):
+    (0,0), (W-1,0), (W-1,H-1), (0,H-1)."""
+    return jnp.array(
+        [[0.0, 0.0], [width - 1.0, 0.0], [width - 1.0, height - 1.0], [0.0, height - 1.0]],
+        jnp.float32,
+    )
+
+
+def homography_4pt(src_pts: jnp.ndarray, dst_pts: jnp.ndarray) -> jnp.ndarray:
+    """DLT homography H such that H @ [sx, sy, 1]^T ~ [dx, dy, 1]^T.
+
+    src_pts, dst_pts: (4, 2). Returns (3, 3) with H[2,2] == 1.
+    Equivalent to cv2.getPerspectiveTransform (src/env.py:287).
+    """
+    x, y = src_pts[:, 0], src_pts[:, 1]
+    u, v = dst_pts[:, 0], dst_pts[:, 1]
+    zeros = jnp.zeros_like(x)
+    ones = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, ones, zeros, zeros, zeros, -u * x, -u * y], axis=-1)
+    rows_v = jnp.stack([zeros, zeros, zeros, x, y, ones, -v * x, -v * y], axis=-1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)  # (8, 8)
+    b = jnp.concatenate([u, v], axis=0)  # (8,)
+    h = jnp.linalg.solve(A, b)
+    return jnp.concatenate([h, jnp.ones(1, h.dtype)]).reshape(3, 3)
+
+
+def view_to_map_coords(src_quad: jnp.ndarray, out_hw: int = VIEW_HW) -> jnp.ndarray:
+    """Continuous map-space coordinates for every output pixel.
+
+    src_quad: (4, 2) view-area corners in map image (x, y) coords.
+    Returns (out_hw, out_hw, 2) of (x, y) sampling positions — the inverse
+    perspective map (what warpPerspective applies per output pixel).
+    """
+    # homography from the DST square to the SRC quad = inverse warp map
+    H = homography_4pt(dst_square_corners(out_hw, out_hw), src_quad)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(out_hw, dtype=jnp.float32),
+        jnp.arange(out_hw, dtype=jnp.float32),
+        indexing="ij",
+    )
+    ones = jnp.ones_like(xs)
+    pts = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3) in dst space
+    mapped = pts @ H.T
+    denom = mapped[..., 2:3]
+    return mapped[..., :2] / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+
+
+def bilinear_gather(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample ``img`` (H, W, C) at ``coords`` (..., 2) of (x, y).
+
+    Constant-0 border, matching cv2.warpPerspective defaults
+    (src/env.py:290-292).
+    """
+    H, W = img.shape[0], img.shape[1]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        val = img[yi_c, xi_c].astype(jnp.float32)
+        return jnp.where(inb[..., None], val, 0.0)
+
+    v00 = tap(x0i, y0i)
+    v01 = tap(x0i + 1, y0i)
+    v10 = tap(x0i, y0i + 1)
+    v11 = tap(x0i + 1, y0i + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def saliency_at(coords: jnp.ndarray, circles: jnp.ndarray, n_circles) -> jnp.ndarray:
+    """Analytic GT-attention saliency.
+
+    coords: (..., 2) map-space (x, y); circles: (C, 3) of (cx, cy, radius) in
+    map pixels, padded with radius<=0. Returns float32 in {0, 1}: 1 where the
+    source point falls inside any valid attention circle — the analytic
+    equivalent of rasterise-then-warp (src/env.py:224-231, 292-293).
+    """
+    c = circles[None, None, :, :]  # broadcast over pixel grid
+    d2 = (coords[..., None, 0] - c[..., 0]) ** 2 + (coords[..., None, 1] - c[..., 1]) ** 2
+    idx = jnp.arange(circles.shape[0])
+    valid = (idx < n_circles) & (circles[:, 2] > 0)
+    hit = (d2 <= c[..., 2] ** 2) & valid[None, None, :]
+    return jnp.any(hit, axis=-1).astype(jnp.float32)
+
+
+def render_view(
+    map_img: jnp.ndarray,
+    src_quad_xy: jnp.ndarray,
+    circles: jnp.ndarray,
+    n_circles,
+    out_hw: int = VIEW_HW,
+    round_corners: bool = True,
+):
+    """Render one item's 224x224 view + GT saliency from its map image.
+
+    map_img: (H, W, 3) uint8/float; src_quad_xy: (4, 2) (x, y) img coords of
+    the view corners; circles: (C, 3) attention circles.
+    ``round_corners`` replicates the reference's int-rounding of corner
+    coords before the homography (src/env.py:189-196, 283-284).
+    """
+    if round_corners:
+        src_quad_xy = jnp.round(src_quad_xy)
+    coords = view_to_map_coords(src_quad_xy, out_hw)
+    view = bilinear_gather(map_img, coords)
+    sal = saliency_at(coords, circles, n_circles)
+    return view, sal
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "round_corners"))
+def render_batch(
+    map_bank: jnp.ndarray,
+    map_idx: jnp.ndarray,
+    src_quads_xy: jnp.ndarray,
+    circles: jnp.ndarray,
+    n_circles: jnp.ndarray,
+    out_hw: int = VIEW_HW,
+    round_corners: bool = True,
+):
+    """Batched renderer over an HBM-resident map bank.
+
+    map_bank: (N, H, W, 3); map_idx: (B,); src_quads_xy: (B, 4, 2);
+    circles: (B, C, 3); n_circles: (B,).
+    Returns (views (B, out, out, 3) float32, saliency (B, out, out)).
+
+    Taps index the bank directly (one fused XLA gather per tap) so no
+    per-item map copy is ever materialised in HBM.
+    """
+    if round_corners:
+        src_quads_xy = jnp.round(src_quads_xy)
+    coords = jax.vmap(lambda q: view_to_map_coords(q, out_hw))(src_quads_xy)
+    H, W = map_bank.shape[1], map_bank.shape[2]
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    bidx = map_idx[:, None, None]
+
+    def tap(xi, yi):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        val = map_bank[bidx, yi_c, xi_c].astype(jnp.float32)
+        return jnp.where(inb[..., None], val, 0.0)
+
+    views = (
+        tap(x0i, y0i) * (1 - wx) * (1 - wy)
+        + tap(x0i + 1, y0i) * wx * (1 - wy)
+        + tap(x0i, y0i + 1) * (1 - wx) * wy
+        + tap(x0i + 1, y0i + 1) * wx * wy
+    )
+    sal = jax.vmap(saliency_at)(coords, circles, n_circles)
+    return views, sal
