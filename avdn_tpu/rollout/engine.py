@@ -356,7 +356,7 @@ def make_lstm_step(
 
     def init_state(*_):
         return {
-            "lstm": init_lstm_state(B),
+            "lstm": init_lstm_state(B, lstm_model.cfg),
             "batch_stats": darknet_vars.get("batch_stats", {}),
         }
 

@@ -1,0 +1,172 @@
+"""Train-step tests: loss decreases under repeated steps on one batch, DP
+sharding over a virtual 8-device CPU mesh produces replica-identical params."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from avdn_tpu.data.synthetic import synthetic_world
+from avdn_tpu.models import (
+    BertConfig,
+    BertLanguageEncoder,
+    Darknet,
+    DarknetConfig,
+    HAATransformer,
+    HAALSTM,
+)
+from avdn_tpu.models.et import ETConfig
+from avdn_tpu.models.lstm import LSTMConfig, init_lstm_state
+from avdn_tpu.train import (
+    TrainConfig,
+    TrainBatch,
+    create_train_state,
+    make_train_step,
+    make_eval_rollout,
+)
+from avdn_tpu.parallel import make_mesh, shard_episode_batch, replicated_sharding
+
+
+def build_tiny(family="et", batch_size=3, seed=0, max_action_len=3):
+    bert_cfg = BertConfig.tiny()  # hidden 128
+    world = synthetic_world(batch_size=batch_size, map_px=256,
+                            lang_dim=bert_cfg.hidden_size, seed=seed)
+    bert = BertLanguageEncoder(bert_cfg)
+    dk = Darknet(DarknetConfig.tiny())
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 4)
+    L = 12
+    ids = np.random.default_rng(seed).integers(0, 1000, (batch_size, L)).astype(np.int32)
+    mask = np.ones((batch_size, L), np.int32)
+    bert_vars = bert.init(ks[0], jnp.asarray(ids), jnp.asarray(mask))
+    dk_vars = dk.init(ks[1], jnp.zeros((1, 224, 224, 3)), train=False)
+
+    if family == "et":
+        vln_cfg = ETConfig(demb=bert_cfg.hidden_size, encoder_heads=4,
+                           encoder_layers=1)
+        vln = HAATransformer(vln_cfg)
+        vln_vars = vln.init(
+            ks[2],
+            jnp.zeros((batch_size, L, bert_cfg.hidden_size)),
+            jnp.zeros((batch_size, 49)),
+            jnp.zeros((batch_size, max_action_len, 64, 49)),
+            jnp.zeros((batch_size, max_action_len, 2)),
+            jnp.ones((batch_size,), jnp.int32),
+        )
+        cfg = TrainConfig(family="et", max_action_len=max_action_len,
+                          nss_w=0.1)
+    else:
+        vln_cfg = LSTMConfig(hidden_size=bert_cfg.hidden_size, dir_hidden=32,
+                             vis_hidden=bert_cfg.hidden_size - 32)
+        vln = HAALSTM(vln_cfg)
+        st = init_lstm_state(batch_size, vln_cfg)
+        vln_vars = vln.init(
+            ks[2],
+            jnp.zeros((batch_size, 1)),
+            jnp.zeros((batch_size, 64, 49)),
+            jnp.zeros((batch_size, 49)),
+            jnp.zeros((batch_size, L, bert_cfg.hidden_size)),
+            st,
+        )
+        cfg = TrainConfig(family="lstm", max_action_len=max_action_len,
+                          student_stop=0.25, darknet_in_vln=True, nss_w=0.0)
+
+    state = create_train_state(cfg, bert_vars, dk_vars, vln_vars)
+    batch = TrainBatch(
+        episode=world.batch,
+        ids_instr=jnp.asarray(ids),
+        mask_instr=jnp.asarray(mask),
+        ids_dialog=jnp.asarray(ids),
+        mask_dialog=jnp.asarray(mask),
+    )
+    return world, cfg, (bert, dk, vln), state, batch
+
+
+class TestTrainStepET:
+    def test_loss_decreases(self):
+        world, cfg, (bert, dk, vln), state, batch = build_tiny("et")
+        step_fn = jax.jit(make_train_step(cfg, bert, dk, vln))
+        bank = jnp.asarray(world.map_bank)
+        losses = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(8):
+            rng, r = jax.random.split(rng)
+            state, metrics = step_fn(state, bank, batch, r)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        # same batch repeatedly → loss should trend down
+        assert losses[-1] < losses[0], losses
+
+    def test_grad_norms_finite(self):
+        world, cfg, (bert, dk, vln), state, batch = build_tiny("et")
+        step_fn = jax.jit(make_train_step(cfg, bert, dk, vln))
+        bank = jnp.asarray(world.map_bank)
+        state, metrics = step_fn(state, bank, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["grad_norm_vln"]))
+        assert float(metrics["grad_norm_bert"]) > 0
+
+    def test_eval_rollout(self):
+        world, cfg, (bert, dk, vln), state, batch = build_tiny("et")
+        eval_fn = jax.jit(make_eval_rollout(cfg, bert, dk, vln, teacher=False))
+        out = eval_fn(state, jnp.asarray(world.map_bank), batch,
+                      jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(out.actions_wp)).all()
+
+
+class TestTrainStepLSTM:
+    def test_loss_decreases(self):
+        world, cfg, (bert, dk, vln), state, batch = build_tiny("lstm")
+        step_fn = jax.jit(make_train_step(cfg, bert, dk, vln))
+        bank = jnp.asarray(world.map_bank)
+        losses = []
+        rng = jax.random.PRNGKey(3)
+        for i in range(6):
+            rng, r = jax.random.split(rng)
+            state, metrics = step_fn(state, bank, batch, r)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+
+class TestDataParallel:
+    def test_sharded_step_runs_on_mesh(self):
+        n_dev = len(jax.devices())
+        assert n_dev >= 8, "conftest should expose 8 virtual CPU devices"
+        world, cfg, (bert, dk, vln), state, batch = build_tiny(
+            "et", batch_size=8, seed=4
+        )
+        mesh = make_mesh(8)
+        rep = replicated_sharding(mesh)
+        state = jax.device_put(state, rep)
+        bank = jax.device_put(jnp.asarray(world.map_bank), rep)
+        batch = shard_episode_batch(batch, mesh)
+        step_fn = jax.jit(make_train_step(cfg, bert, dk, vln))
+        new_state, metrics = step_fn(state, bank, batch, jax.random.PRNGKey(5))
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated (gradient psum happened inside)
+        leaf = jax.tree_util.tree_leaves(new_state.vln_params)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+    def test_dp_matches_single_device(self):
+        """The sharded step must produce the same params as the unsharded
+        step (same global batch, replicated params → identical math)."""
+        world, cfg, (bert, dk, vln), state, batch = build_tiny(
+            "et", batch_size=8, seed=6, max_action_len=2
+        )
+        bank = jnp.asarray(world.map_bank)
+        step_fn = jax.jit(make_train_step(cfg, bert, dk, vln))
+        s_single, m_single = step_fn(state, bank, batch, jax.random.PRNGKey(7))
+
+        mesh = make_mesh(8)
+        rep = replicated_sharding(mesh)
+        state_r = jax.device_put(state, rep)
+        bank_r = jax.device_put(bank, rep)
+        batch_r = shard_episode_batch(batch, mesh)
+        s_shard, m_shard = step_fn(state_r, bank_r, batch_r, jax.random.PRNGKey(7))
+        assert float(m_single["loss"]) == pytest.approx(
+            float(m_shard["loss"]), rel=1e-4
+        )
+        a = jax.tree_util.tree_leaves(s_single.vln_params)
+        b = jax.tree_util.tree_leaves(s_shard.vln_params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
