@@ -1,0 +1,66 @@
+"""Benchmark: closed-loop episode throughput of the flagship HAA-Transformer.
+
+Measures student-forced eval rollouts (the reference's headline eval flow:
+BERT ×2 → per-step render → Darknet-53 → ET → dynamics, max_action_len=5 as
+in the shipped eval config, validation_args.json) end-to-end on the TPU,
+everything under one jit.
+
+Baseline: the CUDA reference runs this loop at batch_size=1 with per-step
+host OpenCV rendering + Shapely geometry (SURVEY.md §3.3). Its shipped logs
+publish no throughput; we use a 4 episodes/sec estimate for a modern GPU
+(≈0.25 s/episode over 5 steps of host-render→H2D→forward→D2H→host-geometry),
+which is generous to the reference. ``vs_baseline`` is measured/4.0.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EPISODES_PER_SEC = 4.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from avdn_tpu.data.synthetic import synthetic_world
+    from avdn_tpu.train import make_eval_rollout, TrainBatch
+    import __graft_entry__ as g
+
+    BATCH = 16
+    T = 5
+    world, cfg, (bert, dk, et), state, batch = g._flagship(
+        batch_size=BATCH, map_px=1024, max_action_len=T, seed=0
+    )
+    eval_fn = jax.jit(make_eval_rollout(cfg, bert, dk, et, teacher=False))
+    bank = jnp.asarray(world.map_bank)
+    rng = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    out = eval_fn(state, bank, batch, rng)
+    jax.block_until_ready(out.actions_wp)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = eval_fn(state, bank, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(out.actions_wp)
+    dt = time.perf_counter() - t0
+
+    episodes_per_sec = BATCH * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "episodes_per_sec_et_eval_rollout",
+                "value": round(episodes_per_sec, 2),
+                "unit": "episodes/s",
+                "vs_baseline": round(episodes_per_sec / REFERENCE_EPISODES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
