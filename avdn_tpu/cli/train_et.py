@@ -1,0 +1,8 @@
+"""HAA-Transformer entry point (the reference's ``xview_et/main.py``)."""
+
+import sys
+
+from avdn_tpu.cli.main import main
+
+if __name__ == "__main__":
+    main(sys.argv[1:], family="et")

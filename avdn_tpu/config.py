@@ -1,0 +1,125 @@
+"""Typed run configuration + reference-compatible CLI.
+
+The reference uses a flat ~45-flag argparse namespace with derived paths
+(src/xview_et/parser.py, src/xview_lstm/parser.py). Public flag names are
+preserved here (so run_et_haa.sh-style invocations translate 1:1) on top of
+a typed dataclass; unknown flags are ignored like the reference's
+``parse_known_args`` (parser.py:102).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Args:
+    # paths
+    root_dir: str = "./datasets"
+    output_dir: str = "default"
+    seed: int = 0
+    # distributed
+    world_size: int = 1
+    # schedule
+    iters: int = 300000
+    log_every: int = 1000
+    eval_first: bool = False
+    inference: bool = False
+    # data
+    max_instr_len: int = 80
+    max_action_len: int = 15
+    batch_size: int = 8
+    # resume
+    resume_file: Optional[str] = None
+    resume_optimizer: bool = False
+    # xview
+    nss_w: float = 1.0
+    nss_r: int = 0
+    darknet_model_file: Optional[str] = None
+    darknet_weight_file: Optional[str] = None
+    bert_vocab_file: Optional[str] = None
+    # ET
+    demb: int = 768
+    encoder_heads: int = 12
+    encoder_layers: int = 2
+    bert_layers: int = 12  # framework-native (reduce for small experiments)
+    dropout_transformer_encoder: float = 0.1
+    dropout_emb: float = 0.0
+    # loss
+    ml_weight: float = 0.2
+    teacher_weight: float = 1.0
+    # ablations
+    no_direction: bool = False
+    language_only: bool = False
+    vision_only: bool = False
+    train_val_on_full: bool = False
+    # eval.ai submission
+    submit: bool = False
+    # optimisation
+    optim: str = "rms"
+    lr: float = 1e-5
+    feedback: str = "student"
+    # family (framework-native)
+    family: str = "et"
+    # derived
+    train_dataset_dir: str = ""
+    val_dataset_dir: str = ""
+    train_anno_dir: str = ""
+    val_anno_dir: str = ""
+    ckpt_dir: str = ""
+    log_dir: str = ""
+    pred_dir: str = ""
+    # device batch topology
+    map_bank_slots: int = 8
+    map_bank_px: int = 4096
+    max_gt_len: int = 12
+    max_circles: int = 16
+    dialog_pad: int = 320
+
+
+_BOOL_FLAGS = {
+    "eval_first", "inference", "resume_optimizer", "no_direction",
+    "language_only", "vision_only", "train_val_on_full", "submit",
+}
+
+
+def parse_args(argv=None, family: str = "et") -> Args:
+    parser = argparse.ArgumentParser(description="avdn_tpu")
+    defaults = Args(family=family)
+    for f in dataclasses.fields(Args):
+        if f.name in ("train_dataset_dir", "val_dataset_dir", "train_anno_dir",
+                      "val_anno_dir", "ckpt_dir", "log_dir", "pred_dir"):
+            continue
+        name = "--" + f.name
+        if f.name in _BOOL_FLAGS:
+            # accept both `--flag` and `--flag True` (the shipped scripts
+            # pass values, run_et_haa.sh:33)
+            parser.add_argument(name, nargs="?", const=True, default=getattr(defaults, f.name),
+                                type=lambda v: str(v).lower() in ("1", "true", "yes"))
+        else:
+            typ = type(getattr(defaults, f.name)) if getattr(defaults, f.name) is not None else str
+            parser.add_argument(name, type=typ, default=getattr(defaults, f.name))
+    ns, _unknown = parser.parse_known_args(argv)
+    args = Args(**{f.name: getattr(ns, f.name, getattr(defaults, f.name))
+                   for f in dataclasses.fields(Args)})
+    return postprocess_args(args)
+
+
+def postprocess_args(args: Args) -> Args:
+    root = args.root_dir
+    args.train_dataset_dir = os.path.join(root, "AVDN", "train_images")
+    args.val_dataset_dir = os.path.join(root, "AVDN", "train_images")
+    args.train_anno_dir = os.path.join(root, "AVDN", "annotations")
+    args.val_anno_dir = os.path.join(root, "AVDN", "annotations")
+    args.ckpt_dir = os.path.join(args.output_dir, "ckpts")
+    args.log_dir = os.path.join(args.output_dir, "logs")
+    args.pred_dir = os.path.join(args.output_dir, "preds")
+    for d in (args.output_dir, args.ckpt_dir, args.log_dir, args.pred_dir,
+              os.path.join(args.pred_dir, "debug_images")):
+        os.makedirs(d, exist_ok=True)
+    if args.train_val_on_full:
+        args.max_action_len *= 4  # reference main.py:292-293
+    return args

@@ -1,0 +1,124 @@
+"""Map bank — xView GeoTIFF tiles, square-pixel normalised, device-resident.
+
+The reference re-reads and re-warps maps on host every step through OpenCV
+(src/env.py:212-240). Here maps are preprocessed ONCE on host (area-resample
+to square lat-ratio pixels, BGR→RGB) — optionally through the native C++
+resampler in ``native/`` — padded to a fixed bank shape, and uploaded to HBM
+where the compiled rollout gathers from them directly. Attention circles are
+kept as (cx, cy, r) lists (img coords) instead of rasterised maps — the
+renderer tests them analytically (see sim.render).
+
+Device caching: each unique map occupies one fixed-shape HBM slot; slots are
+freed when a map is absent from the incoming batch (same eviction policy as
+the reference's ``map_batch`` dict, src/env.py:234-240) and reused.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+from avdn_tpu.geometry.transforms import gps_to_img_coords_np
+
+
+def load_map_image(path: str, lng_ratio: float, lat_ratio: float) -> np.ndarray:
+    """Read a GeoTIFF tile and resample its width by lng_ratio/lat_ratio so
+    pixels are square in latitude units (src/env.py:217-221). Returns RGB
+    uint8 (the reference keeps BGR and flips at model input; we flip once)."""
+    if cv2 is None:
+        raise RuntimeError("OpenCV unavailable: cannot decode GeoTIFF maps")
+    im = cv2.imread(path, 1)
+    if im is None:
+        raise FileNotFoundError(path)
+    new_w = int(im.shape[1] * lng_ratio / lat_ratio)
+    im = cv2.resize(im, (new_w, im.shape[0]), interpolation=cv2.INTER_AREA)
+    return np.ascontiguousarray(im[:, :, ::-1])
+
+
+def attention_circles(item: dict, max_circles: int) -> Tuple[np.ndarray, int]:
+    """Per-item GT attention circles in image coords
+    ((cx, cy, radius), padded)."""
+    circles = np.zeros((max_circles, 3), np.float32)
+    att = item.get("attention_list", [])
+    n = min(len(att), max_circles)
+    for j in range(n):
+        center_gps, radius = att[j][0], att[j][1]
+        x, y = gps_to_img_coords_np(
+            center_gps, item["gps_botm_left"], item["gps_top_right"],
+            item["lat_ratio"],
+        )
+        circles[j] = [x, y, float(radius)]
+    return circles, n
+
+
+class DeviceMapBank:
+    """Fixed-shape HBM map slots with name-keyed reuse + eviction."""
+
+    def __init__(self, dataset_dir: str, bank_hw: Tuple[int, int],
+                 n_slots: int = 8):
+        import jax
+        import jax.numpy as jnp
+
+        self.dataset_dir = dataset_dir
+        self.bank_hw = bank_hw
+        self.n_slots = n_slots
+        self._slots: List[Optional[str]] = [None] * n_slots
+        self._host_cache: Dict[str, np.ndarray] = {}
+        self._bank = jnp.zeros((n_slots, bank_hw[0], bank_hw[1], 3), jnp.uint8)
+
+    def _load_host(self, item: dict) -> np.ndarray:
+        name = item["map_name"]
+        if name not in self._host_cache:
+            img = load_map_image(
+                os.path.join(self.dataset_dir, name + ".tif"),
+                item["lng_ratio"], item["lat_ratio"],
+            )
+            H, W = self.bank_hw
+            if img.shape[0] > H or img.shape[1] > W:
+                img = img[:H, :W]
+            self._host_cache[name] = img
+        return self._host_cache[name]
+
+    def prepare(self, batch_items: List[dict]):
+        """Ensure every batch map has a slot; upload new maps; evict unused
+        host cache entries. Returns (bank_array, {map_name: slot})."""
+        import jax.numpy as jnp
+
+        names = [it["map_name"] for it in batch_items]
+        unique = list(dict.fromkeys(names))
+        if len(unique) > self.n_slots:
+            raise ValueError(
+                f"batch needs {len(unique)} maps > bank slots {self.n_slots}"
+            )
+        # evict host-cache entries not in this batch (src/env.py:234-240)
+        for k in list(self._host_cache):
+            if k not in unique:
+                del self._host_cache[k]
+        # free slots whose map is gone, then place new maps
+        for i, owner in enumerate(self._slots):
+            if owner is not None and owner not in unique:
+                self._slots[i] = None
+        slot_of: Dict[str, int] = {}
+        for name in unique:
+            if name in self._slots:
+                slot_of[name] = self._slots.index(name)
+        for it in batch_items:
+            name = it["map_name"]
+            if name in slot_of:
+                continue
+            free = self._slots.index(None)
+            img = self._load_host(it)
+            H, W = self.bank_hw
+            padded = np.zeros((H, W, 3), np.uint8)
+            padded[: img.shape[0], : img.shape[1]] = img
+            self._bank = self._bank.at[free].set(jnp.asarray(padded))
+            self._slots[free] = name
+            slot_of[name] = free
+        return self._bank, slot_of

@@ -1,0 +1,100 @@
+"""Checkpointing — orbax-backed save/load + reference-checkpoint import.
+
+The reference snapshots a dict of three submodel state_dicts + optimizers
+per checkpoint file and selects the best by val_unseen SPL
+(src/xview_et/agent.py:899-945, src/xview_et/main.py:200-204). Here the full
+``TrainState`` (params, optimizer states, BN stats, step) is stored through
+orbax with the same naming scheme (``latest_dict_{iter}``, ``best_val_unseen``)
+and the same best-by-SPL policy (train.loop).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state) -> str:
+    """Save a TrainState pytree. Returns the checkpoint path."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = _checkpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def load_checkpoint(path: str, template) -> Any:
+    """Restore a TrainState saved by ``save_checkpoint``. ``template`` is a
+    matching TrainState (shapes/dtypes) used as the restore target."""
+    import orbax.checkpoint as ocp
+
+    ckptr = _checkpointer()
+    restored = ckptr.restore(
+        os.path.abspath(path),
+        item=jax.tree_util.tree_map(np.asarray, jax.device_get(template)),
+    )
+    return jax.tree_util.tree_map(
+        lambda t, r: jax.numpy.asarray(r), template, restored
+    )
+
+
+def import_reference_agent(path: str, family: str, darknet_blocks,
+                           bert_layers: int = 12, et_layers: int = 2):
+    """Import a released reference agent checkpoint (``best_val_unseen``):
+    ``{lang_model, vision_model, vln_model}`` each ``{epoch, state_dict,
+    optimizer}`` (src/xview_et/agent.py:899-916). Returns
+    ``(bert_vars, darknet_vars, vln_vars, epoch)``.
+
+    For the LSTM family the Darknet lives inside vln_model (keys prefixed
+    ``vision_model.``) — both layouts are handled."""
+    from avdn_tpu.compat.torch_import import (
+        load_reference_checkpoint,
+        bert_params_from_torch,
+        darknet_params_from_torch,
+        et_params_from_torch,
+        lstm_params_from_torch,
+    )
+
+    blob = load_reference_checkpoint(path)
+    bert_vars = bert_params_from_torch(
+        blob["lang_model"]["state_dict"], num_layers=bert_layers
+    )
+    if family == "et":
+        dk_vars = darknet_params_from_torch(
+            blob["vision_model"]["state_dict"], darknet_blocks
+        )
+        vln_vars = et_params_from_torch(
+            blob["vln_model"]["state_dict"], num_layers=et_layers
+        )
+    else:
+        vln_sd = blob["vln_model"]["state_dict"]
+        dk_sd = {
+            k[len("vision_model."):]: v
+            for k, v in vln_sd.items()
+            if k.startswith("vision_model.")
+        }
+        dk_vars = darknet_params_from_torch(dk_sd, darknet_blocks)
+        vln_vars = lstm_params_from_torch(vln_sd)
+    epoch = int(blob["vln_model"].get("epoch", 1)) - 1
+    return bert_vars, dk_vars, vln_vars, epoch
+
+
+def import_darknet_pretrain(path: str, darknet_blocks):
+    """Import the released YOLO pretrain ``best.pt`` (``{'model': sd}``)
+    with key filtering like the reference (src/xview_et/agent.py:136-141)."""
+    from avdn_tpu.compat.torch_import import (
+        load_reference_checkpoint,
+        darknet_params_from_torch,
+    )
+
+    blob = load_reference_checkpoint(path)
+    sd = blob["model"] if "model" in blob else blob
+    return darknet_params_from_torch(sd, darknet_blocks)

@@ -1,0 +1,343 @@
+"""Training / validation drivers — the reference's main.py flows, TPU-native.
+
+Mirrors src/xview_et/main.py (and the near-identical LSTM main):
+``build_dataset`` → train/val envs; ``train`` → interval loop of
+``log_every`` epochs, checkpoint ``latest_dict_{iter}``, student-forced nav
+eval + teacher-forced human-attention eval on every val env, best-by-SPL
+checkpoint of val_unseen (main.py:150-250); ``valid`` → inference mode with
+the Eval.ai ``output_test_result.npy`` dump for test_unseen (main.py:274-276).
+
+Differences by design: evaluation reuses the in-memory TrainState with
+deterministic/eval-mode flags instead of re-instantiating an agent and
+re-reading the checkpoint from disk (main.py:182-187 — same math, no IO);
+phase timers and JSONL metrics are always on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from avdn_tpu.config import Args
+from avdn_tpu.data.annotations import ANDHDataset
+from avdn_tpu.data.batcher import BatcherConfig, make_train_batch
+from avdn_tpu.data.maps import DeviceMapBank
+from avdn_tpu.data.tokenizer import WordPieceTokenizer
+from avdn_tpu.metrics import assemble_trajectories, eval_metrics
+from avdn_tpu.models import (
+    BertConfig,
+    BertLanguageEncoder,
+    Darknet,
+    DarknetConfig,
+    HAATransformer,
+    HAALSTM,
+)
+from avdn_tpu.models.et import ETConfig
+from avdn_tpu.models.lstm import LSTMConfig, init_lstm_state
+from avdn_tpu.train.step import (
+    TrainConfig,
+    TrainBatch,
+    create_train_state,
+    make_train_step,
+    make_eval_rollout,
+    _darknet_channels,
+)
+from avdn_tpu.train import checkpoints as ckpt
+from avdn_tpu.utils import MetricWriter, PhaseTimer, set_random_seed, time_since
+
+
+def build_models(args: Args):
+    if args.demb == 768 and args.bert_layers == 12:
+        bert_cfg = BertConfig()
+    else:
+        bert_cfg = BertConfig(
+            hidden_size=args.demb,
+            num_layers=args.bert_layers,
+            num_heads=args.encoder_heads,
+            intermediate_size=args.demb * 2,
+        )
+    bert = BertLanguageEncoder(bert_cfg)
+    if args.darknet_model_file and os.path.exists(args.darknet_model_file):
+        with open(args.darknet_model_file) as f:
+            dk_cfg = DarknetConfig.from_text(f.read(), img_size=224)
+    else:
+        dk_cfg = DarknetConfig.default(img_size=224)
+    darknet = Darknet(dk_cfg)
+    if args.family == "et":
+        vln = HAATransformer(
+            ETConfig(
+                demb=args.demb,
+                encoder_heads=args.encoder_heads,
+                encoder_layers=args.encoder_layers,
+                dropout_transformer=args.dropout_transformer_encoder,
+                dropout_emb=args.dropout_emb,
+            )
+        )
+    else:
+        vln = HAALSTM(LSTMConfig(hidden_size=args.demb))
+    return bert, darknet, vln
+
+
+def init_state(args: Args, bert, darknet, vln, cfg: TrainConfig, rng):
+    ks = jax.random.split(rng, 3)
+    L = args.max_instr_len
+    bert_vars = bert.init(
+        ks[0], jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+    )
+    dk_vars = darknet.init(ks[1], jnp.zeros((1, 224, 224, 3)), train=False)
+    if args.darknet_weight_file and os.path.exists(args.darknet_weight_file):
+        dk_vars = ckpt.import_darknet_pretrain(
+            args.darknet_weight_file, darknet.cfg.block_dicts()
+        )
+        print(f"Loaded darknet pretrain from {args.darknet_weight_file}")
+    feat_ch = _darknet_channels(darknet)
+    if args.family == "et":
+        vln_vars = vln.init(
+            ks[2],
+            jnp.zeros((1, L, args.demb)),
+            jnp.zeros((1, 49)),
+            jnp.zeros((1, cfg.max_action_len, feat_ch, 49)),
+            jnp.zeros((1, cfg.max_action_len, 2)),
+            jnp.ones((1,), jnp.int32),
+        )
+    else:
+        st = init_lstm_state(1, vln.cfg)
+        vln_vars = vln.init(
+            ks[2],
+            jnp.zeros((1, 1)),
+            jnp.zeros((1, feat_ch, 49)),
+            jnp.zeros((1, 49)),
+            jnp.zeros((1, L, args.demb)),
+            st,
+        )
+    return create_train_state(cfg, bert_vars, dk_vars, vln_vars)
+
+
+def train_config_from_args(args: Args) -> TrainConfig:
+    return TrainConfig(
+        family=args.family,
+        feedback=args.feedback,
+        lr=args.lr,
+        optim=args.optim if args.optim in ("adam", "adamW") else "adamW",
+        ml_weight=args.ml_weight,
+        teacher_weight=args.teacher_weight,
+        nss_w=args.nss_w,
+        nss_r=args.nss_r,
+        max_action_len=args.max_action_len,
+        student_stop=0.25 if args.family == "lstm" else 0.5,
+        darknet_in_vln=args.family == "lstm",
+        single_bert_pass=args.train_val_on_full,
+        language_only=args.language_only,
+        vision_only=args.vision_only,
+        no_direction=args.no_direction,
+    )
+
+
+def batcher_config(args: Args) -> BatcherConfig:
+    return BatcherConfig(
+        max_gt_len=args.max_gt_len,
+        max_circles=args.max_circles,
+        instr_pad=args.max_instr_len,
+        dialog_pad=args.dialog_pad,
+        lang_dim=args.demb,
+        vision_only=args.vision_only,
+        single_bert_pass=args.train_val_on_full,
+    )
+
+
+def build_dataset(args: Args):
+    train_env = ANDHDataset(args.train_anno_dir, ["train"], args.batch_size,
+                            seed=args.seed)
+    val_names = ["val_seen", "val_unseen"]
+    if args.submit:
+        val_names.append("test_unseen")
+    val_envs = {
+        name: ANDHDataset(args.val_anno_dir, [name], args.batch_size,
+                          seed=args.seed)
+        for name in val_names
+    }
+    return train_env, val_envs
+
+
+def _eval_env(args, env, eval_fn, state, tokenizer, bank, bcfg,
+              rng) -> Dict[str, dict]:
+    """One full pass over a val env; returns preds keyed by instr_id.
+    Wrap-around duplicate items overwrite by key (reference agent.test,
+    agent.py:204-206)."""
+    preds: Dict[str, dict] = {}
+    for items in env:
+        bank_arr, slot_of = bank.prepare(items)
+        batch, meta = make_train_batch(items, tokenizer, slot_of, bcfg)
+        out = eval_fn(state, bank_arr, batch, rng)
+        preds.update(assemble_trajectories(jax.device_get(out), meta))
+    return preds
+
+
+def run_validation(args, state, val_envs, eval_student, eval_teacher,
+                   tokenizer, bank, bcfg, writer, step: int,
+                   eval_student_test=None):
+    """Student nav eval + teacher-forced HA eval over all val envs
+    (main.py:188-239). Returns {env_name: avg_metrics}."""
+    results = {}
+    rng = jax.random.PRNGKey(args.seed)
+    loss_str = f"iter {step}"
+    for env_name, env in val_envs.items():
+        fn = eval_student
+        if "test" in env_name and eval_student_test is not None:
+            fn = eval_student_test
+        preds = _eval_env(args, env, fn, state, tokenizer, bank, bcfg, rng)
+        if "test_unseen" in env_name:
+            np.save("./output_test_result.npy", preds, allow_pickle=True)
+            print("inference_result on test is generated.")
+            continue
+        avg, _ = eval_metrics(preds)
+        results[env_name] = avg
+        loss_str += f", {env_name} " + "".join(
+            f", {k}: {v:.2f}" for k, v in avg.items()
+        )
+        writer.scalars(step, {f"{k}/{env_name}": v for k, v in avg.items()})
+    for env_name, env in val_envs.items():
+        if "test_unseen" in env_name:
+            continue
+        preds = _eval_env(args, env, eval_teacher, state, tokenizer, bank,
+                          bcfg, rng)
+        ha_avg, _ = eval_metrics(preds, human_att_eval=True)
+        results[env_name + "_human_att"] = ha_avg
+        loss_str += f", {env_name}_human_att " + "".join(
+            f", {k}: {v:.2f}" for k, v in ha_avg.items()
+        )
+        writer.scalars(step, {f"{k}/{env_name}_ha": v for k, v in ha_avg.items()})
+    writer.text(loss_str)
+    return results
+
+
+def train(args: Args):
+    set_random_seed(args.seed)
+    cfg = train_config_from_args(args)
+    bert, darknet, vln = build_models(args)
+    state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
+    tokenizer = WordPieceTokenizer.load(args.bert_vocab_file)
+    bcfg = batcher_config(args)
+    bank = DeviceMapBank(
+        args.train_dataset_dir, (args.map_bank_px, args.map_bank_px),
+        n_slots=args.map_bank_slots,
+    )
+    writer = MetricWriter(args.log_dir, "train.txt")
+    with open(os.path.join(args.log_dir, "training_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=4, default=str)
+
+    train_env, val_envs = build_dataset(args)
+    train_step = jax.jit(make_train_step(cfg, bert, darknet, vln))
+    eval_student = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+                                             teacher=False))
+    eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+                                             teacher=True, collect_ha=True))
+    eval_student_test = (
+        jax.jit(make_eval_rollout(cfg, bert, darknet, vln, teacher=False,
+                                  compute_losses=False))
+        if args.submit else None
+    )
+
+    start_iter = 0
+    if args.resume_file:
+        state = ckpt.load_checkpoint(args.resume_file, state)
+        start_iter = int(jax.device_get(state.step))
+        writer.text(f"\nLOAD the model from {args.resume_file}, iteration {start_iter}")
+
+    if args.eval_first:
+        run_validation(args, state, val_envs, eval_student, eval_teacher,
+                       tokenizer, bank, bcfg, writer, start_iter,
+                       eval_student_test)
+
+    best_val = {"val_unseen": {"spl": 0.0, "state": ""}}
+    interval = max(int(train_env.size() / args.batch_size), 1) * args.log_every
+    timers = PhaseTimer()
+    rng = jax.random.PRNGKey(args.seed + 1)
+    start = time.time()
+
+    for idx in range(start_iter, start_iter + args.iters, interval):
+        it = idx + interval
+        losses = []
+        for _epoch in range(args.log_every):
+            for items in train_env:
+                with timers("map_bank"):
+                    bank_arr, slot_of = bank.prepare(items)
+                with timers("batch_build"):
+                    batch, _ = make_train_batch(items, tokenizer, slot_of, bcfg)
+                with timers("train_step"):
+                    rng, r = jax.random.split(rng)
+                    state, metrics = train_step(state, bank_arr, batch, r)
+                losses.append(metrics["loss"])
+        il_loss = float(np.mean([jax.device_get(l) for l in losses]))
+        writer.scalars(it, {"loss/IL_loss": il_loss})
+        writer.text(f"\nIL_loss {il_loss:.4f}")
+        writer.text(f"phase timers: {timers.summary()}")
+
+        ckpt.save_checkpoint(args.ckpt_dir, f"latest_dict_{it}", state)
+        results = run_validation(args, state, val_envs, eval_student,
+                                 eval_teacher, tokenizer, bank, bcfg, writer,
+                                 it, eval_student_test)
+        if "val_unseen" in results:
+            spl = results["val_unseen"].get("spl", 0.0)
+            if spl >= best_val["val_unseen"]["spl"]:
+                best_val["val_unseen"]["spl"] = spl
+                best_val["val_unseen"]["state"] = f"Iter {it} spl {spl:.2f}"
+                ckpt.save_checkpoint(args.ckpt_dir, "best_val_unseen", state)
+        writer.text(
+            f"{time_since(start, (it - start_iter) / args.iters)} iter {it} "
+            f"BEST: {best_val['val_unseen']['state']}"
+        )
+    writer.close()
+
+
+def valid(args: Args):
+    """Inference mode (main.py:253-288)."""
+    set_random_seed(args.seed)
+    cfg = train_config_from_args(args)
+    bert, darknet, vln = build_models(args)
+    state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
+    if args.resume_file:
+        if os.path.isdir(args.resume_file):
+            state = ckpt.load_checkpoint(args.resume_file, state)
+        else:
+            # released torch checkpoint
+            bert_v, dk_v, vln_v, epoch = ckpt.import_reference_agent(
+                args.resume_file, args.family, darknet.cfg.block_dicts(),
+                et_layers=args.encoder_layers,
+            )
+            state = state.replace(
+                bert_params=bert_v["params"],
+                darknet_params=dk_v["params"],
+                batch_stats=dk_v.get("batch_stats", {}),
+                vln_params=vln_v["params"],
+            )
+            print(f"Imported reference checkpoint (epoch {epoch})")
+    tokenizer = WordPieceTokenizer.load(args.bert_vocab_file)
+    bcfg = batcher_config(args)
+    bank = DeviceMapBank(
+        args.val_dataset_dir, (args.map_bank_px, args.map_bank_px),
+        n_slots=args.map_bank_slots,
+    )
+    writer = MetricWriter(args.log_dir, "valid.txt")
+    with open(os.path.join(args.log_dir, "validation_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=4, default=str)
+    _, val_envs = build_dataset(args)
+    eval_student = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+                                             teacher=False))
+    eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+                                             teacher=True, collect_ha=True))
+    eval_student_test = (
+        jax.jit(make_eval_rollout(cfg, bert, darknet, vln, teacher=False,
+                                  compute_losses=False))
+        if args.submit else None
+    )
+    run_validation(args, state, val_envs, eval_student, eval_teacher,
+                   tokenizer, bank, bcfg, writer, int(jax.device_get(state.step)),
+                   eval_student_test)
+    writer.close()

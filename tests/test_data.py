@@ -1,0 +1,122 @@
+"""Data-pipeline tests: tokenizer, annotations, maps, batch assembly."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from avdn_tpu.data.tokenizer import WordPieceTokenizer, basic_tokenize
+from avdn_tpu.data.annotations import load_annotations, ANDHDataset
+from avdn_tpu.data.maps import load_map_image, attention_circles, DeviceMapBank
+from avdn_tpu.data.batcher import BatcherConfig, make_train_batch
+from fixtures import write_fixture_dataset
+
+
+class TestTokenizer:
+    def test_basic_tokenize(self):
+        assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+        assert basic_tokenize("don't stop") == ["don", "'", "t", "stop"]
+
+    def test_vocab_file_wordpiece(self, tmp_path):
+        vocab = ["[PAD]"] * 100 + ["[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                 "fly", "north", "##ward", "over", "the", "build", "##ing"]
+        # make unique pads
+        vocab = [f"[unused{i}]" if 0 < i < 100 else v
+                 for i, v in enumerate(vocab)]
+        vocab[0] = "[PAD]"
+        p = tmp_path / "vocab.txt"
+        p.write_text("\n".join(vocab) + "\n")
+        tok = WordPieceTokenizer.from_vocab_file(str(p))
+        assert tok.tokenize("fly northward over the building") == [
+            "fly", "north", "##ward", "over", "the", "build", "##ing"
+        ]
+        ids, mask = tok(["fly north", "over"])
+        assert ids.shape == mask.shape
+        assert ids[0, 0] == tok.cls_id
+        assert mask[1].sum() == 3  # CLS over SEP
+
+    def test_fallback_deterministic(self):
+        tok = WordPieceTokenizer.load(None)
+        a1, _ = tok(["fly over the building"])
+        a2, _ = tok(["fly over the building"])
+        np.testing.assert_array_equal(a1, a2)
+
+    def test_pad_to(self):
+        tok = WordPieceTokenizer.load(None)
+        ids, mask = tok(["short text"], pad_to=32)
+        assert ids.shape == (1, 32)
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    return write_fixture_dataset(str(tmp_path_factory.mktemp("andh")))
+
+
+class TestAnnotations:
+    def test_load_and_normalise(self, fixture_root):
+        data = load_annotations(os.path.join(fixture_root, "AVDN", "annotations"),
+                                ["train"])
+        assert len(data) == 4
+        item = data[0]
+        assert isinstance(item["angle"], int) and 0 <= item["angle"] < 360
+        assert item["instructions"] == item["instructions"].lower()
+        assert isinstance(item["pre_dialogs"], str)
+        assert all(isinstance(c, np.ndarray) for c in item["gt_path_corners"])
+
+    def test_batches_wrap_around(self, fixture_root):
+        ds = ANDHDataset(os.path.join(fixture_root, "AVDN", "annotations"),
+                         ["train"], batch_size=3, seed=0)
+        batches = list(ds)
+        assert all(len(b) == 3 for b in batches)
+        assert len(batches) == 2  # 4 items → 2 batches of 3 (with refill)
+
+    def test_shuffle_seeded(self, fixture_root):
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        a = ANDHDataset(anno, ["train"], 2, seed=5)
+        b = ANDHDataset(anno, ["train"], 2, seed=5)
+        assert [x["route_index"] for x in a.data] == [
+            x["route_index"] for x in b.data
+        ]
+
+
+class TestMaps:
+    def test_load_resize(self, fixture_root):
+        img_dir = os.path.join(fixture_root, "AVDN", "train_images")
+        img = load_map_image(os.path.join(img_dir, "fixmapA.tif"),
+                             lng_ratio=2.4e-5, lat_ratio=2e-5)
+        assert img.shape[0] == 256
+        assert abs(img.shape[1] - 256) <= 1  # width rescaled to square pixels
+
+    def test_device_bank_slots(self, fixture_root):
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 4, seed=0)
+        bank = DeviceMapBank(os.path.join(fixture_root, "AVDN", "train_images"),
+                             (256, 256), n_slots=3)
+        items = next(iter(ds))
+        arr, slot_of = bank.prepare(items)
+        assert arr.shape == (3, 256, 256, 3)
+        assert set(slot_of) == {it["map_name"] for it in items}
+        # second prepare reuses slots
+        _, slot_of2 = bank.prepare(items)
+        assert slot_of == slot_of2
+
+
+class TestBatcher:
+    def test_make_train_batch(self, fixture_root):
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 4, seed=0)
+        items = next(iter(ds))
+        tok = WordPieceTokenizer.load(None)
+        cfg = BatcherConfig(instr_pad=48, dialog_pad=96, lang_dim=64)
+        batch, meta = make_train_batch(items, tok, None, cfg)
+        B = 4
+        assert batch.episode.start_corners.shape == (B, 4, 2)
+        assert batch.ids_instr.shape == (B, 48)
+        assert batch.ids_dialog.shape == (B, 96)
+        # offsets are inside the map extent
+        sc = np.asarray(batch.episode.start_corners)
+        ext = np.asarray(batch.episode.extent)
+        assert np.all(sc >= 0) and np.all(sc <= ext[:, None, :])
+        assert all(m["num_dia"] >= 1 for m in meta)
+        assert all("__" in m["instr_id"] for m in meta)

@@ -1,0 +1,99 @@
+"""End-to-end driver test: a tiny full training run through the CLI config →
+dataset → map bank → train loop → eval → checkpoints, on fixture data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import write_fixture_dataset
+
+TINY_DARKNET_CFG = """
+[net]
+channels=3
+height=224
+width=224
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=8
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=4
+pad=1
+activation=leaky
+"""
+
+
+@pytest.fixture(scope="module")
+def run_dirs(tmp_path_factory):
+    root = write_fixture_dataset(str(tmp_path_factory.mktemp("andh_e2e")))
+    out = str(tmp_path_factory.mktemp("out"))
+    cfg_path = os.path.join(out, "tiny_yolo.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_DARKNET_CFG)
+    return root, out, cfg_path
+
+
+def make_args(root, out, cfg_path, **over):
+    from avdn_tpu.config import Args, postprocess_args
+
+    args = Args(
+        root_dir=root,
+        output_dir=out,
+        iters=2,
+        log_every=1,
+        batch_size=2,
+        max_action_len=2,
+        max_instr_len=32,
+        dialog_pad=64,
+        demb=64,
+        encoder_heads=4,
+        encoder_layers=1,
+        bert_layers=2,
+        optim="adamW",
+        nss_w=0.1,
+        darknet_model_file=cfg_path,
+        map_bank_px=256,
+        map_bank_slots=3,
+        family="et",
+    )
+    for k, v in over.items():
+        setattr(args, k, v)
+    return postprocess_args(args)
+
+
+class TestEndToEnd:
+    def test_train_loop_et(self, run_dirs):
+        from avdn_tpu.train.loop import train
+
+        root, out, cfg_path = run_dirs
+        args = make_args(root, out, cfg_path)
+        train(args)
+        # checkpoints written
+        names = os.listdir(args.ckpt_dir)
+        assert any(n.startswith("latest_dict_") for n in names)
+        assert "best_val_unseen" in names
+        # metrics logged
+        lines = open(os.path.join(args.log_dir, "metrics.jsonl")).read().splitlines()
+        recs = [json.loads(l) for l in lines]
+        assert any("loss/IL_loss" in r for r in recs)
+        assert any(any(k.startswith("spl/") for k in r) for r in recs)
+
+    def test_inference_resume_from_checkpoint(self, run_dirs):
+        from avdn_tpu.train.loop import valid
+
+        root, out, cfg_path = run_dirs
+        args = make_args(root, out, cfg_path, inference=True)
+        ckpts = sorted(os.listdir(args.ckpt_dir))
+        args.resume_file = os.path.join(args.ckpt_dir, "best_val_unseen")
+        valid(args)
+        assert os.path.exists(os.path.join(args.log_dir, "valid.txt"))
