@@ -38,6 +38,11 @@ def load_map_image(path: str, lng_ratio: float, lat_ratio: float) -> np.ndarray:
     if im is None:
         raise FileNotFoundError(path)
     new_w = int(im.shape[1] * lng_ratio / lat_ratio)
+    from avdn_tpu.data import native
+
+    if native.available():
+        im = native.area_resize(im, im.shape[0], new_w)
+        return native.swap_rb(im)
     im = cv2.resize(im, (new_w, im.shape[0]), interpolation=cv2.INTER_AREA)
     return np.ascontiguousarray(im[:, :, ::-1])
 
