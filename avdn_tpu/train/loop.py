@@ -179,6 +179,28 @@ def _eval_env(args, env, eval_fn, state, tokenizer, bank, bcfg,
     return preds
 
 
+def _write_debug_images(args, env, preds, env_name):
+    """Inference-mode trajectory overlays (agent.py:776-879 flow)."""
+    from avdn_tpu.viz import save_debug_overlays
+    from avdn_tpu.data.maps import load_map_image
+
+    items_by_id = {
+        it["map_name"] + "__" + it["route_index"]: it for it in env.data
+    }
+    host_maps = {}
+    for it in items_by_id.values():
+        nm = it["map_name"]
+        if nm not in host_maps:
+            try:
+                host_maps[nm] = load_map_image(
+                    os.path.join(args.val_dataset_dir, nm + ".tif"),
+                    it["lng_ratio"], it["lat_ratio"],
+                )
+            except FileNotFoundError:
+                pass
+    save_debug_overlays(args.pred_dir, env_name, preds, host_maps, items_by_id)
+
+
 def run_validation(args, state, val_envs, eval_student, eval_teacher,
                    tokenizer, bank, bcfg, writer, step: int,
                    eval_student_test=None):
@@ -196,6 +218,8 @@ def run_validation(args, state, val_envs, eval_student, eval_teacher,
             np.save("./output_test_result.npy", preds, allow_pickle=True)
             print("inference_result on test is generated.")
             continue
+        if args.inference:
+            _write_debug_images(args, env, preds, env_name)
         avg, _ = eval_metrics(preds)
         results[env_name] = avg
         loss_str += f", {env_name} " + "".join(
