@@ -2,7 +2,12 @@
 
 import sys
 
-from avdn_tpu.cli.main import main
+from avdn_tpu.cli.main import main as _main
+
+
+def main():
+    _main(sys.argv[1:], family="lstm")
+
 
 if __name__ == "__main__":
-    main(sys.argv[1:], family="lstm")
+    main()

@@ -58,6 +58,39 @@ def homography_4pt(src_pts: jnp.ndarray, dst_pts: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([h, jnp.ones(1, h.dtype)]).reshape(3, 3)
 
 
+def square_to_quad_homography(quad: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form homography mapping the UNIT square (corners (0,0), (1,0),
+    (1,1), (0,1)) onto ``quad`` (4, 2).
+
+    Equivalent to the 8x8 DLT solve but pure arithmetic — ``jnp.linalg.solve``
+    lowers to slow scalar LU loops on TPU and dominated the compiled rollout
+    (measured 130ms/episode-batch); this formulation is a handful of VPU ops.
+    Classic projective-texture-mapping identity (Heckbert '89).
+    """
+    p0, p1, p2, p3 = quad[0], quad[1], quad[2], quad[3]
+    d1 = p1 - p2
+    d2 = p3 - p2
+    s = p0 - p1 + p2 - p3
+
+    def cross(a, b):
+        return a[0] * b[1] - a[1] * b[0]
+
+    denom = cross(d1, d2)
+    denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1e-20)
+    g = cross(s, d2) / denom
+    h = cross(d1, s) / denom
+    a_vec = p1 - p0 + g * p1
+    b_vec = p3 - p0 + h * p3
+    return jnp.array(
+        [
+            [a_vec[0], b_vec[0], p0[0]],
+            [a_vec[1], b_vec[1], p0[1]],
+            [g, h, 1.0],
+        ],
+        quad.dtype,
+    )
+
+
 def view_to_map_coords(src_quad: jnp.ndarray, out_hw: int = VIEW_HW) -> jnp.ndarray:
     """Continuous map-space coordinates for every output pixel.
 
@@ -65,15 +98,16 @@ def view_to_map_coords(src_quad: jnp.ndarray, out_hw: int = VIEW_HW) -> jnp.ndar
     Returns (out_hw, out_hw, 2) of (x, y) sampling positions — the inverse
     perspective map (what warpPerspective applies per output pixel).
     """
-    # homography from the DST square to the SRC quad = inverse warp map
-    H = homography_4pt(dst_square_corners(out_hw, out_hw), src_quad)
+    # homography from the DST square to the SRC quad = inverse warp map;
+    # dst pixel (x, y) / (out-1) is the unit-square coordinate
+    H = square_to_quad_homography(src_quad.astype(jnp.float32))
     ys, xs = jnp.meshgrid(
-        jnp.arange(out_hw, dtype=jnp.float32),
-        jnp.arange(out_hw, dtype=jnp.float32),
+        jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0),
+        jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0),
         indexing="ij",
     )
     ones = jnp.ones_like(xs)
-    pts = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3) in dst space
+    pts = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3) in unit-square space
     mapped = pts @ H.T
     denom = mapped[..., 2:3]
     return mapped[..., :2] / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
