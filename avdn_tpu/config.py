@@ -64,6 +64,7 @@ class Args:
     feedback: str = "student"
     # family (framework-native)
     family: str = "et"
+    bf16: bool = False  # bfloat16 compute in the model towers (fp32 params)
     # derived
     train_dataset_dir: str = ""
     val_dataset_dir: str = ""
@@ -82,7 +83,7 @@ class Args:
 
 _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
-    "language_only", "vision_only", "train_val_on_full", "submit",
+    "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
 }
 
 

@@ -149,6 +149,9 @@ def rollout(
         model_state, action, pred_sal = model_step(
             model_state, x, dir_feat, t, ended, r_model
         )
+        # towers may compute in bfloat16; losses/geometry stay fp32
+        action = action.astype(jnp.float32)
+        pred_sal = pred_sal.astype(jnp.float32)
         pred_wp = action[:, 0:2]
         pred_alt = action[:, 2]
         pred_prog = action[:, 3]

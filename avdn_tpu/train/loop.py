@@ -53,6 +53,7 @@ from avdn_tpu.utils import MetricWriter, PhaseTimer, set_random_seed, time_since
 
 
 def build_models(args: Args):
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     if args.demb == 768 and args.bert_layers == 12:
         bert_cfg = BertConfig()
     else:
@@ -62,13 +63,13 @@ def build_models(args: Args):
             num_heads=args.encoder_heads,
             intermediate_size=args.demb * 2,
         )
-    bert = BertLanguageEncoder(bert_cfg)
+    bert = BertLanguageEncoder(bert_cfg, dtype=dtype)
     if args.darknet_model_file and os.path.exists(args.darknet_model_file):
         with open(args.darknet_model_file) as f:
             dk_cfg = DarknetConfig.from_text(f.read(), img_size=224)
     else:
         dk_cfg = DarknetConfig.default(img_size=224)
-    darknet = Darknet(dk_cfg)
+    darknet = Darknet(dk_cfg, dtype=dtype)
     if args.family == "et":
         vln = HAATransformer(
             ETConfig(
@@ -77,10 +78,11 @@ def build_models(args: Args):
                 encoder_layers=args.encoder_layers,
                 dropout_transformer=args.dropout_transformer_encoder,
                 dropout_emb=args.dropout_emb,
-            )
+            ),
+            dtype=dtype,
         )
     else:
-        vln = HAALSTM(LSTMConfig(hidden_size=args.demb))
+        vln = HAALSTM(LSTMConfig(hidden_size=args.demb), dtype=dtype)
     return bert, darknet, vln
 
 

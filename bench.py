@@ -29,7 +29,7 @@ def main():
     from avdn_tpu.train import make_eval_rollout, TrainBatch
     import __graft_entry__ as g
 
-    BATCH = 16
+    BATCH = 64
     T = 5
     world, cfg, (bert, dk, et), state, batch = g._flagship(
         batch_size=BATCH, map_px=1024, max_action_len=T, seed=0

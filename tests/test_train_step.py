@@ -169,4 +169,5 @@ class TestDataParallel:
         a = jax.tree_util.tree_leaves(s_single.vln_params)
         b = jax.tree_util.tree_leaves(s_shard.vln_params)
         for x, y in zip(a, b):
-            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+            # sharded all-reduce changes summation order; tiny float drift ok
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
