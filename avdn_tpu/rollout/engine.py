@@ -33,7 +33,15 @@ import flax.struct
 from avdn_tpu.sim.render import render_batch
 from avdn_tpu.sim.dynamics import move_view_corners_batch
 from avdn_tpu.sim.oracle import teacher_action_batch
-from avdn_tpu.ops.losses import nss_loss, step_losses
+from avdn_tpu.ops.losses import step_losses
+from avdn_tpu.ops.saliency_pallas import saliency_reductions
+
+
+def _pallas_ok() -> bool:
+    """Use the fused Pallas saliency kernel on TPU, XLA elsewhere."""
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 _PI_REF = 3.14159
 
@@ -163,6 +171,22 @@ def rollout(
         prog_clip = jnp.clip(pred_prog, 0.0, 1.0)
 
         # ---- oracle + losses ----
+        need_sal_stats = cfg.compute_losses or cfg.collect_ha_metrics
+        if need_sal_stats:
+            # one fused pass over both saliency maps: NSS moments + HA
+            # precision/recall sums. Pallas kernel on TPU for eval; the XLA
+            # formulation when training (the kernel has no VJP and the NSS
+            # term is differentiated).
+            neg_nss, nss_valid, ha_prec, ha_rec = saliency_reductions(
+                pred_sal, gt_sal, nss_r=cfg.nss_r,
+                use_pallas=_pallas_ok() and not cfg.train,
+            )
+        else:
+            neg_nss = jnp.zeros((B,), jnp.float32)
+            nss_valid = jnp.zeros((B,), bool)
+            ha_prec = jnp.zeros((B,))
+            ha_rec = jnp.zeros((B,))
+
         if cfg.compute_losses:
             oracle = teacher_action_batch(
                 corners, ended, batch.gt_corners, batch.gt_len, cfg.teacher_forcing
@@ -174,28 +198,12 @@ def rollout(
             ml = step_losses(
                 pred_wp, pred_alt, pred_prog, gt_wp, gt_alt, gt_prog, heading_eps
             )
-            neg_nss, nss_valid = nss_loss(pred_sal, gt_sal, cfg.nss_r)
             ml = ml + cfg.nss_w * jnp.sum(jnp.where(nss_valid, neg_nss, 0.0))
             loss_acc = loss_acc + jnp.where(any_alive, ml, 0.0)
         else:
             gt_wp = jnp.zeros((B, 2), jnp.float32)
             gt_alt = jnp.zeros((B,), jnp.float32)
             gt_prog = jnp.zeros((B,), jnp.float32)
-            neg_nss = jnp.zeros((B,), jnp.float32)
-            nss_valid = jnp.zeros((B,), bool)
-
-        # human-attention eval metrics (teacher-forced eval,
-        # agent.py:683-691): clipped saliency precision/recall
-        if cfg.collect_ha_metrics:
-            ps = jnp.clip(pred_sal, 0.0, 1.0).reshape(B, -1)
-            gs = gt_sal.reshape(B, -1)
-            tp = jnp.sum(ps * gs, axis=1)
-            p_sum = jnp.sum(ps, axis=1)
-            ha_prec = jnp.where(p_sum > 0, tp / jnp.maximum(p_sum, 1e-20), 0.0)
-            ha_rec = tp / jnp.maximum(jnp.sum(gs, axis=1), 1e-20)
-        else:
-            ha_prec = jnp.zeros((B,))
-            ha_rec = jnp.zeros((B,))
 
         # ---- feedback + stop decision ----
         if cfg.teacher_forcing:
