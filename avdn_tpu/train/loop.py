@@ -243,8 +243,20 @@ def run_validation(args, state, val_envs, eval_student, eval_teacher,
     return results
 
 
+def _enable_compile_cache(args: Args):
+    """Persistent XLA compilation cache — first compiles of the full stack
+    are expensive; subsequent runs start instantly."""
+    try:
+        cache_dir = os.path.join(args.output_dir, ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def train(args: Args):
     set_random_seed(args.seed)
+    _enable_compile_cache(args)
     cfg = train_config_from_args(args)
     bert, darknet, vln = build_models(args)
     state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
@@ -272,7 +284,15 @@ def train(args: Args):
 
     start_iter = 0
     if args.resume_file:
+        fresh = state
         state = ckpt.load_checkpoint(args.resume_file, state)
+        if not args.resume_optimizer:
+            # params-only resume (reference default, agent.py:936-937)
+            state = state.replace(
+                opt_bert=fresh.opt_bert,
+                opt_darknet=fresh.opt_darknet,
+                opt_vln=fresh.opt_vln,
+            )
         start_iter = int(jax.device_get(state.step))
         writer.text(f"\nLOAD the model from {args.resume_file}, iteration {start_iter}")
 
@@ -325,6 +345,7 @@ def train(args: Args):
 def valid(args: Args):
     """Inference mode (main.py:253-288)."""
     set_random_seed(args.seed)
+    _enable_compile_cache(args)
     cfg = train_config_from_args(args)
     bert, darknet, vln = build_models(args)
     state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
