@@ -235,6 +235,98 @@ def torch_darknet_forward(mods, block_dicts, x):
     return x
 
 
+ROUTE_CFG = """
+[net]
+channels=3
+height=224
+width=224
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=8
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=0
+filters=16
+size=1
+stride=1
+pad=1
+activation=linear
+
+[route]
+layers=-1,-2
+
+[convolutional]
+batch_normalize=1
+filters=32
+size=3
+stride=2
+pad=1
+activation=leaky
+"""
+
+
+class TestDarknetRoute:
+    def test_route_concat_parity(self):
+        from avdn_tpu.models.darknet import DarknetConfig as DC
+
+        cfg = DC.from_text(ROUTE_CFG)
+        blocks = cfg.block_dicts()
+        tmods = build_torch_darknet(blocks)
+        tmods.eval()
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(2, 3, 224, 224)).astype(np.float32)
+        with torch.no_grad():
+            want = torch_darknet_forward(tmods, blocks, torch.from_numpy(x))
+            want = want.reshape(2, want.shape[1], -1).numpy()
+        sd = {f"module_list.{k}": v.detach().numpy()
+              for k, v in tmods.state_dict().items()}
+        variables = darknet_params_from_torch(sd, blocks)
+        got = Darknet(cfg).apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    def test_upsample_nearest(self):
+        from avdn_tpu.models.darknet import DarknetConfig as DC
+
+        txt = """
+[net]
+channels=3
+height=224
+width=224
+
+[convolutional]
+batch_normalize=0
+filters=8
+size=1
+stride=2
+pad=1
+activation=linear
+
+[upsample]
+stride=2
+"""
+        cfg = DC.from_text(txt)
+        m = Darknet(cfg)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), train=False)
+        out = m.apply(v, jnp.ones((1, 8, 8, 3)), train=False)
+        assert out.shape == (1, 8, 64)  # back to 8x8 after stride-2 + x2 up
+
+
 class TestDarknet:
     def test_parity_tiny_cfg(self):
         cfg = DarknetConfig.tiny()
