@@ -408,3 +408,68 @@ def make_lstm_step(
         )
 
     return step, init_state
+
+
+def make_lstm_vision_only_step(darknet_model, lstm_model, darknet_vars,
+                               lstm_params, batch: EpisodeBatch,
+                               cfg: RolloutConfig):
+    """HAA-LSTM vision-only ablation cell (src/models/vln_model.py:255-343):
+    no language inputs at all."""
+    from avdn_tpu.models.lstm import init_lstm_state
+
+    B = batch.start_corners.shape[0]
+
+    def init_state(*_):
+        return {
+            "lstm": init_lstm_state(B, lstm_model.cfg),
+            "batch_stats": darknet_vars.get("batch_stats", {}),
+        }
+
+    def step(state, x, dir_feat, t, ended, rng):
+        dk_vars = {"params": darknet_vars["params"]}
+        if state["batch_stats"]:
+            dk_vars["batch_stats"] = state["batch_stats"]
+        if cfg.train:
+            feats, updates = darknet_model.apply(
+                dk_vars, x, train=True, mutable=["batch_stats"]
+            )
+            new_stats = updates["batch_stats"]
+        else:
+            feats = darknet_model.apply(dk_vars, x, train=False)
+            new_stats = state["batch_stats"]
+        deg = jnp.arctan2(dir_feat[:, 0:1], dir_feat[:, 1:2]) / _PI_REF * 180.0
+        new_lstm, action, sal = lstm_model.apply(
+            lstm_params, deg, feats, state["lstm"],
+            deterministic=not cfg.train,
+            rngs={"dropout": rng} if cfg.train else None,
+        )
+        return {"lstm": new_lstm, "batch_stats": new_stats}, action, sal
+
+    return step, init_state
+
+
+def make_lstm_lang_only_step(lstm_model, lstm_params, batch: EpisodeBatch,
+                             cfg: RolloutConfig):
+    """HAA-LSTM language-only ablation cell (src/models/vln_model.py:349-412):
+    no vision tower; saliency output is zero (the variant has no saliency
+    head)."""
+    B = batch.start_corners.shape[0]
+    hid = lstm_model.cfg.hidden_size
+
+    def init_state(*_):
+        return {
+            "lstm": (jnp.zeros((B, hid)), jnp.zeros((B, hid))),
+            "batch_stats": {},
+        }
+
+    def step(state, x, dir_feat, t, ended, rng):
+        deg = jnp.arctan2(dir_feat[:, 0:1], dir_feat[:, 1:2]) / _PI_REF * 180.0
+        new_lstm, action = lstm_model.apply(
+            lstm_params, deg, batch.lang_feat, state["lstm"],
+            deterministic=not cfg.train,
+            rngs={"dropout": rng} if cfg.train else None,
+        )
+        sal = jnp.zeros((x.shape[0], 224, 224))
+        return {"lstm": new_lstm, "batch_stats": {}}, action, sal
+
+    return step, init_state
