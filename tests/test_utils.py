@@ -1,0 +1,54 @@
+"""Utility-layer tests: logging, timers, collectives (single-process)."""
+
+import json
+import os
+import time
+
+import numpy as np
+
+from avdn_tpu.utils import (
+    write_to_record_file, time_since, PhaseTimer, MetricWriter, print_progress,
+)
+from avdn_tpu.parallel.collectives import (
+    init_distributed, all_gather_metrics, reduce_mean_metrics,
+)
+
+
+class TestLogging:
+    def test_record_file(self, tmp_path):
+        p = str(tmp_path / "rec.txt")
+        write_to_record_file("hello", p, verbose=False)
+        write_to_record_file("world", p, verbose=False)
+        assert open(p).read().splitlines() == ["hello", "world"]
+
+    def test_time_since(self):
+        s = time_since(time.time() - 30, 0.5)
+        assert "m" in s and "-" in s
+
+    def test_phase_timer(self):
+        t = PhaseTimer()
+        with t("a"):
+            time.sleep(0.01)
+        with t("b"):
+            pass
+        assert t.totals["a"] >= 0.01
+        assert "a:" in t.summary()
+
+    def test_metric_writer_jsonl(self, tmp_path):
+        w = MetricWriter(str(tmp_path))
+        w.scalars(1, {"x": 1.5})
+        w.scalars(2, {"x": 2.5, "y": 0.0})
+        w.text("line")
+        w.close()
+        recs = [json.loads(l) for l in open(w.jsonl_path)]
+        assert recs[0] == {"step": 1, "x": 1.5}
+        assert os.path.exists(w.record_path)
+
+
+class TestCollectives:
+    def test_single_process(self):
+        assert init_distributed() == 0
+        rows = all_gather_metrics({"a": 1.0, "b": 2.0})
+        assert rows == [{"a": 1.0, "b": 2.0}]
+        avg = reduce_mean_metrics({"a": 3.0})
+        assert avg == {"a": 3.0}
