@@ -1,0 +1,50 @@
+"""CLI config semantics (reference parser behaviours, src/xview_et/parser.py)."""
+
+import os
+
+from avdn_tpu.config import parse_args
+
+
+def test_defaults_and_derived_dirs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "out1", "--root_dir", "data"])
+    assert args.train_anno_dir == os.path.join("data", "AVDN", "annotations")
+    assert os.path.isdir("out1/ckpts")
+    assert os.path.isdir("out1/preds/debug_images")
+    assert args.family == "et"
+
+
+def test_bool_flags_accept_values(tmp_path, monkeypatch):
+    # the shipped scripts pass `--eval_first True` (run_et_haa.sh:33)
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o", "--eval_first", "True",
+                       "--submit", "True", "--inference", "True"])
+    assert args.eval_first and args.submit and args.inference
+    args = parse_args(["--output_dir", "o", "--eval_first", "False"])
+    assert not args.eval_first
+    args = parse_args(["--output_dir", "o", "--eval_first"])
+    assert args.eval_first
+
+
+def test_unknown_flags_ignored(tmp_path, monkeypatch):
+    # parse_known_args tolerance (parser.py:102) — the shipped eval script
+    # depends on it
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o", "--no_such_flag", "1"])
+    assert args.output_dir == "o"
+
+
+def test_train_val_on_full_scales_horizon(tmp_path, monkeypatch):
+    # main.py:292-293
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o", "--max_action_len", "10",
+                       "--train_val_on_full", "True"])
+    assert args.max_action_len == 40
+
+
+def test_family_flag(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o"], family="lstm")
+    assert args.family == "lstm"
+    args = parse_args(["--output_dir", "o", "--family", "et"], family="lstm")
+    assert args.family == "et"
