@@ -84,6 +84,7 @@ class RolloutConfig:
     no_direction: bool = False         # zero out heading features (ablation)
     collect_ha_metrics: bool = False   # per-step HA precision/recall + NSS
     collect_views: bool = False        # debug: return rendered views
+    render_subsample: int = 1          # >1: fast (non-parity) warp, PERF.md
 
 
 @flax.struct.dataclass
@@ -144,7 +145,8 @@ def rollout(
         # ---- render current views on device ----
         quad_img = _corners_to_img(corners, batch.extent, batch.lat_ratio)
         views, gt_sal = render_batch(
-            map_bank, batch.map_idx, quad_img, batch.circles, batch.n_circles
+            map_bank, batch.map_idx, quad_img, batch.circles, batch.n_circles,
+            subsample=cfg.render_subsample,
         )
         x = (views - RGB_MEAN) / RGB_STD
 

@@ -189,7 +189,9 @@ def render_view(
     return view, sal
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "round_corners"))
+@functools.partial(
+    jax.jit, static_argnames=("out_hw", "round_corners", "subsample")
+)
 def render_batch(
     map_bank: jnp.ndarray,
     map_idx: jnp.ndarray,
@@ -198,6 +200,7 @@ def render_batch(
     n_circles: jnp.ndarray,
     out_hw: int = VIEW_HW,
     round_corners: bool = True,
+    subsample: int = 1,
 ):
     """Batched renderer over an HBM-resident map bank.
 
@@ -207,10 +210,16 @@ def render_batch(
 
     Taps index the bank directly (one fused XLA gather per tap) so no
     per-item map copy is ever materialised in HBM.
+
+    ``subsample`` > 1 is the FAST mode: the warp gather (the measured
+    bottleneck, PERF.md) runs on an out_hw/subsample grid and the result is
+    bilinearly upscaled — ~subsample² fewer gathered elements at the cost of
+    sub-pixel blur. Not cv2-bit-exact; keep 1 for metric parity.
     """
     if round_corners:
         src_quads_xy = jnp.round(src_quads_xy)
-    coords = jax.vmap(lambda q: view_to_map_coords(q, out_hw))(src_quads_xy)
+    grid_hw = out_hw // subsample if subsample > 1 else out_hw
+    coords = jax.vmap(lambda q: view_to_map_coords(q, grid_hw))(src_quads_xy)
     H, W = map_bank.shape[1], map_bank.shape[2]
     x = coords[..., 0]
     y = coords[..., 1]
@@ -236,4 +245,8 @@ def render_batch(
         + tap(x0i + 1, y0i + 1) * wx * wy
     )
     sal = jax.vmap(saliency_at)(coords, circles, n_circles)
+    if subsample > 1:
+        B = views.shape[0]
+        views = jax.image.resize(views, (B, out_hw, out_hw, 3), "bilinear")
+        sal = jax.image.resize(sal, (B, out_hw, out_hw), "bilinear")
     return views, sal

@@ -138,6 +138,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         language_only=args.language_only,
         vision_only=args.vision_only,
         no_direction=args.no_direction,
+        render_subsample=args.render_subsample,
     )
 
 

@@ -68,6 +68,7 @@ class TrainConfig:
     language_only: bool = False
     vision_only: bool = False
     no_direction: bool = False
+    render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
                     **kw) -> RolloutConfig:
@@ -80,6 +81,7 @@ class TrainConfig:
             nss_r=self.nss_r,
             language_only=self.language_only,
             no_direction=self.no_direction,
+            render_subsample=self.render_subsample,
             **kw,
         )
 
