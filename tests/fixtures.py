@@ -77,7 +77,8 @@ def write_fixture_dataset(root, n_train=4, n_val=2, map_px=256, seed=0):
             )
         return items
 
-    for split, n in (("train", n_train), ("val_seen", n_val), ("val_unseen", n_val)):
+    for split, n in (("train", n_train), ("val_seen", n_val),
+                     ("val_unseen", n_val), ("test_unseen", n_val)):
         with open(os.path.join(anno_dir, f"{split}_data.json"), "w") as f:
             json.dump(make_items(n), f)
     return root

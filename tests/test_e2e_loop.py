@@ -97,3 +97,34 @@ class TestEndToEnd:
         args.resume_file = os.path.join(args.ckpt_dir, "best_val_unseen")
         valid(args)
         assert os.path.exists(os.path.join(args.log_dir, "valid.txt"))
+        # inference mode writes trajectory-overlay debug images
+        dbg = os.listdir(os.path.join(args.pred_dir, "debug_images"))
+        assert any(f.endswith(".jpg") for f in dbg)
+
+    def test_inference_submit_dumps_testset_npy(self, run_dirs, tmp_path,
+                                                monkeypatch):
+        """--submit adds test_unseen and dumps the Eval.ai npy
+        (main.py:274-276)."""
+        from avdn_tpu.train.loop import valid
+        import numpy as np
+
+        root, out, cfg_path = run_dirs
+        monkeypatch.chdir(tmp_path)  # npy lands in cwd like the reference
+        args = make_args(root, out, cfg_path, inference=True, submit=True)
+        args.resume_file = os.path.join(args.ckpt_dir, "best_val_unseen")
+        valid(args)
+        assert os.path.exists("output_test_result.npy")
+        preds = np.load("output_test_result.npy", allow_pickle=True).item()
+        assert len(preds) >= 1
+        rec = next(iter(preds.values()))
+        assert "path_corners" in rec and "actions" in rec
+
+    def test_train_loop_lstm(self, run_dirs, tmp_path_factory):
+        from avdn_tpu.train.loop import train
+
+        root, _, cfg_path = run_dirs
+        out = str(tmp_path_factory.mktemp("out_lstm"))
+        args = make_args(root, out, cfg_path, family="lstm", nss_w=0.0)
+        train(args)
+        assert any(n.startswith("latest_dict_")
+                   for n in os.listdir(args.ckpt_dir))
