@@ -44,7 +44,16 @@ def main():
 
     def many(state, bank, batch, rng):
         def body(i, acc):
-            out = eval_fn(state, bank, batch, jax.random.fold_in(rng, i))
+            k = jax.random.fold_in(rng, i)
+            # hoist-proof: perturb the start pose so XLA cannot lift the
+            # rng-independent rollout out of the loop (PERF.md)
+            noise = 1e-9 * jax.random.normal(
+                k, batch.episode.start_corners.shape
+            )
+            ep = batch.episode.replace(
+                start_corners=batch.episode.start_corners + noise
+            )
+            out = eval_fn(state, bank, batch.replace(episode=ep), k)
             return acc + jnp.sum(out.actions_wp)
 
         return jax.lax.fori_loop(0, n_iters, body, 0.0)
