@@ -91,21 +91,25 @@ def square_to_quad_homography(quad: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def view_to_map_coords(src_quad: jnp.ndarray, out_hw: int = VIEW_HW) -> jnp.ndarray:
+def view_to_map_coords(src_quad: jnp.ndarray, out_hw: int = VIEW_HW,
+                       positions: jnp.ndarray | None = None) -> jnp.ndarray:
     """Continuous map-space coordinates for every output pixel.
 
     src_quad: (4, 2) view-area corners in map image (x, y) coords.
     Returns (out_hw, out_hw, 2) of (x, y) sampling positions — the inverse
     perspective map (what warpPerspective applies per output pixel).
+
+    ``positions`` optionally overrides the per-axis unit-square sample
+    positions (length out_hw; default the pixel grid i/(out-1)) — used by the
+    subsampled fast mode to sample where the later bilinear upscale will
+    reconstruct.
     """
     # homography from the DST square to the SRC quad = inverse warp map;
     # dst pixel (x, y) / (out-1) is the unit-square coordinate
     H = square_to_quad_homography(src_quad.astype(jnp.float32))
-    ys, xs = jnp.meshgrid(
-        jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0),
-        jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0),
-        indexing="ij",
-    )
+    if positions is None:
+        positions = jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0)
+    ys, xs = jnp.meshgrid(positions, positions, indexing="ij")
     ones = jnp.ones_like(xs)
     pts = jnp.stack([xs, ys, ones], axis=-1)  # (H, W, 3) in unit-square space
     mapped = pts @ H.T
@@ -218,8 +222,20 @@ def render_batch(
     """
     if round_corners:
         src_quads_xy = jnp.round(src_quads_xy)
-    grid_hw = out_hw // subsample if subsample > 1 else out_hw
-    coords = jax.vmap(lambda q: view_to_map_coords(q, grid_hw))(src_quads_xy)
+    if subsample > 1:
+        grid_hw = out_hw // subsample
+        # sample where the upscale reconstructs: resize('bilinear') places
+        # coarse pixel g at fine coordinate (g+0.5)*s - 0.5 (half-pixel
+        # centers), normalised by the fine grid's (out-1)
+        positions = (
+            (jnp.arange(grid_hw, dtype=jnp.float32) + 0.5) * subsample - 0.5
+        ) / (out_hw - 1.0)
+    else:
+        grid_hw = out_hw
+        positions = None
+    coords = jax.vmap(
+        lambda q: view_to_map_coords(q, grid_hw, positions)
+    )(src_quads_xy)
     H, W = map_bank.shape[1], map_bank.shape[2]
     x = coords[..., 0]
     y = coords[..., 1]

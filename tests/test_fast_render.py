@@ -27,7 +27,9 @@ def test_subsample_close_on_smooth_map():
     fast, _ = render_batch(bank, midx, quad, circ, nc, subsample=2)
     assert fast.shape == exact.shape
     diff = np.abs(np.asarray(fast) - np.asarray(exact))
-    assert diff.mean() < 2.0, diff.mean()  # intensity units of 255
+    # with half-pixel-aligned sampling the fast mode is sub-unit accurate
+    assert diff.mean() < 0.5, diff.mean()  # intensity units of 255
+    assert np.percentile(diff, 99) < 2.0
 
 
 def test_rollout_with_fast_render():
