@@ -123,6 +123,68 @@ activation=leaky
     return "".join(parts)
 
 
+def full_yolov3_cfg(classes: int = 60, img_size: int = 224) -> str:
+    """Faithful reconstruction of the public YOLOv3 topology (darknet-53
+    backbone + 3 detection heads with routes, upsamples, negative/absolute
+    route indices, and yolo blocks), parameterised by class count — 60 for
+    xView, matching the reference's dead YOLO loss path
+    (src/models/dark_net.py:85 ``nC  # number of classes (60)``).
+
+    The released ``yolo_v3.cfg`` asset ships with the dataset, not the repo;
+    this is the standard public topology it derives from, used to prove the
+    cfg parser/shape contract against the reference parser before the asset
+    is available.
+    """
+    det = 3 * (5 + classes)
+    anchors = "10,13, 16,30, 33,23, 30,61, 62,45, 59,119, 116,90, 156,198, 373,326"
+
+    def conv(filters, size, stride=1, bn=1, act="leaky"):
+        return (
+            "\n[convolutional]\n"
+            + ("batch_normalize=1\n" if bn else "")
+            + f"filters={filters}\nsize={size}\nstride={stride}\npad=1\n"
+            + f"activation={act}\n"
+        )
+
+    def yolo(mask):
+        return (
+            f"\n[yolo]\nmask={mask}\nanchors={anchors}\n"
+            f"classes={classes}\nnum=9\njitter=.3\nignore_thresh=.7\n"
+            "truth_thresh=1\nrandom=1\n"
+        )
+
+    parts = [f"[net]\nchannels=3\nheight={img_size}\nwidth={img_size}\n"]
+    # darknet-53 backbone
+    parts.append(conv(32, 3))
+    for ch, nres in [(64, 1), (128, 2), (256, 8), (512, 8), (1024, 4)]:
+        parts.append(conv(ch, 3, stride=2))
+        parts.extend(_res_block(ch) for _ in range(nres))
+    # head 1 (stride 32)
+    for f, s in [(512, 1), (1024, 3), (512, 1), (1024, 3), (512, 1), (1024, 3)]:
+        parts.append(conv(f, s))
+    parts.append(conv(det, 1, bn=0, act="linear"))
+    parts.append(yolo("6,7,8"))
+    # head 2 (stride 16)
+    parts.append("\n[route]\nlayers=-4\n")
+    parts.append(conv(256, 1))
+    parts.append("\n[upsample]\nstride=2\n")
+    parts.append("\n[route]\nlayers=-1, 61\n")
+    for f, s in [(256, 1), (512, 3), (256, 1), (512, 3), (256, 1), (512, 3)]:
+        parts.append(conv(f, s))
+    parts.append(conv(det, 1, bn=0, act="linear"))
+    parts.append(yolo("3,4,5"))
+    # head 3 (stride 8)
+    parts.append("\n[route]\nlayers=-4\n")
+    parts.append(conv(128, 1))
+    parts.append("\n[upsample]\nstride=2\n")
+    parts.append("\n[route]\nlayers=-1, 36\n")
+    for f, s in [(128, 1), (256, 3), (128, 1), (256, 3), (128, 1), (256, 3)]:
+        parts.append(conv(f, s))
+    parts.append(conv(det, 1, bn=0, act="linear"))
+    parts.append(yolo("0,1,2"))
+    return "".join(parts)
+
+
 @dataclasses.dataclass(frozen=True)
 class DarknetConfig:
     blocks: tuple  # tuple of frozen block dicts (hashable for flax)
@@ -210,7 +272,7 @@ class Darknet(nn.Module):
     bn_momentum: float = 0.9  # torch BatchNorm2d default (momentum=0.1)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_layers: bool = False):
         blocks = self.cfg.block_dicts()
         assert blocks[0]["type"] == "net"
         outputs = []
@@ -261,6 +323,10 @@ class Darknet(nn.Module):
             else:
                 raise ValueError(f"unsupported block type: {t}")
             outputs.append(x)
+        if return_layers:
+            # per-layer activations (NHWC), for shape-contract tests against
+            # the reference walk (src/models/dark_net.py:212-240)
+            return outputs
         B, H, W, C = x.shape
         # NHWC → channel-major flattened (B, C, H*W)
         return jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)
