@@ -66,6 +66,7 @@ class Args:
     family: str = "et"
     bf16: bool = False  # bfloat16 compute in the model towers (fp32 params)
     render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
+    profile_dir: Optional[str] = None  # capture a jax profiler trace here
     # derived
     train_dataset_dir: str = ""
     val_dataset_dir: str = ""

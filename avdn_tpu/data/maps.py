@@ -64,16 +64,27 @@ def attention_circles(item: dict, max_circles: int) -> Tuple[np.ndarray, int]:
 
 
 class DeviceMapBank:
-    """Fixed-shape HBM map slots with name-keyed reuse + eviction."""
+    """Fixed-shape HBM map slots with name-keyed reuse + eviction.
+
+    Tiles larger than the current slot shape are NEVER cropped (the
+    reference keeps whole maps on host, src/env.py:212-240; a crop would
+    silently render views/GT beyond it black and corrupt geometry). Instead
+    the bank auto-grows to fit — rounded up to ``grow_quantum`` so repeated
+    growth (and the jit recompilation a new bank shape implies) is rare —
+    or raises if ``auto_grow=False``.
+    """
 
     def __init__(self, dataset_dir: str, bank_hw: Tuple[int, int],
-                 n_slots: int = 8):
+                 n_slots: int = 8, auto_grow: bool = True,
+                 grow_quantum: int = 512):
         import jax
         import jax.numpy as jnp
 
         self.dataset_dir = dataset_dir
         self.bank_hw = bank_hw
         self.n_slots = n_slots
+        self.auto_grow = auto_grow
+        self.grow_quantum = grow_quantum
         self._slots: List[Optional[str]] = [None] * n_slots
         self._host_cache: Dict[str, np.ndarray] = {}
         self._bank = jnp.zeros((n_slots, bank_hw[0], bank_hw[1], 3), jnp.uint8)
@@ -85,11 +96,30 @@ class DeviceMapBank:
                 os.path.join(self.dataset_dir, name + ".tif"),
                 item["lng_ratio"], item["lat_ratio"],
             )
-            H, W = self.bank_hw
-            if img.shape[0] > H or img.shape[1] > W:
-                img = img[:H, :W]
             self._host_cache[name] = img
         return self._host_cache[name]
+
+    def _ensure_fits(self, imgs: List[np.ndarray]):
+        """Grow the bank (preserving resident slots) if any image exceeds
+        the slot shape; raise when growth is disabled."""
+        import jax.numpy as jnp
+
+        need_h = max([im.shape[0] for im in imgs], default=0)
+        need_w = max([im.shape[1] for im in imgs], default=0)
+        H, W = self.bank_hw
+        if need_h <= H and need_w <= W:
+            return
+        if not self.auto_grow:
+            raise ValueError(
+                f"map tile of shape ({need_h}, {need_w}) exceeds bank slots "
+                f"{self.bank_hw} and auto_grow is off — raise --map_bank_px"
+            )
+        q = self.grow_quantum
+        new_h = max(H, -(-need_h // q) * q)
+        new_w = max(W, -(-need_w // q) * q)
+        grown = jnp.zeros((self.n_slots, new_h, new_w, 3), jnp.uint8)
+        self._bank = grown.at[:, :H, :W].set(self._bank)
+        self.bank_hw = (new_h, new_w)
 
     def prepare(self, batch_items: List[dict]):
         """Ensure every batch map has a slot; upload new maps; evict unused
@@ -114,13 +144,17 @@ class DeviceMapBank:
         for name in unique:
             if name in self._slots:
                 slot_of[name] = self._slots.index(name)
-        for it in batch_items:
+        incoming = [it for it in batch_items if it["map_name"] not in slot_of]
+        # de-dup incoming by name, load all first so growth happens once
+        to_place: Dict[str, np.ndarray] = {}
+        for it in incoming:
             name = it["map_name"]
-            if name in slot_of:
-                continue
+            if name not in to_place:
+                to_place[name] = self._load_host(it)
+        self._ensure_fits(list(to_place.values()))
+        H, W = self.bank_hw
+        for name, img in to_place.items():
             free = self._slots.index(None)
-            img = self._load_host(it)
-            H, W = self.bank_hw
             padded = np.zeros((H, W, 3), np.uint8)
             padded[: img.shape[0], : img.shape[1]] = img
             self._bank = self._bank.at[free].set(jnp.asarray(padded))

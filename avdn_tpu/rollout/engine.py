@@ -84,6 +84,7 @@ class RolloutConfig:
     no_direction: bool = False         # zero out heading features (ablation)
     collect_ha_metrics: bool = False   # per-step HA precision/recall + NSS
     collect_views: bool = False        # debug: return rendered views
+    collect_saliency: bool = False     # debug: return pred/GT saliency maps
     render_subsample: int = 1          # >1: fast (non-parity) warp, PERF.md
 
 
@@ -107,6 +108,8 @@ class RolloutOutputs:
     ha_valid: jnp.ndarray       # (T, B)
     loss: jnp.ndarray           # () summed ml loss (pre ml_weight scaling)
     views: Optional[jnp.ndarray] = None
+    pred_sal: Optional[jnp.ndarray] = None  # (T, B, 224, 224) debug dumps
+    gt_sal: Optional[jnp.ndarray] = None    # (T, B, 224, 224)
 
 
 def _corners_to_img(corners, extent, lat_ratio):
@@ -252,6 +255,10 @@ def rollout(
         )
         if cfg.collect_views:
             ys["views"] = views
+        if cfg.collect_saliency:
+            # per-step attention debug dumps (agent.py:694-706)
+            ys["pred_sal"] = pred_sal
+            ys["gt_sal"] = gt_sal
         new_carry = (new_corners, new_dirs, ended_next, model_state, loss_acc, rng)
         return new_carry, ys
 
@@ -283,6 +290,8 @@ def rollout(
         ha_valid=ys["ha_valid"],
         loss=loss,
         views=ys.get("views"),
+        pred_sal=ys.get("pred_sal"),
+        gt_sal=ys.get("gt_sal"),
     )
     return outputs, model_state
 

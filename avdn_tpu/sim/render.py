@@ -17,8 +17,9 @@ circles (src/env.py:212-231). Here circles are per-item, which is the
 intended behaviour; the difference only shows when a batch mixes items of
 the same map with different dialog rounds.
 
-A Pallas kernel with the same contract lives in ``avdn_tpu.ops.warp_pallas``;
-this module is the XLA reference implementation and the fallback path.
+This XLA formulation is the production path: a hand-written Pallas warp
+prototype was benchmarked and rejected (no win over XLA's fused gather at
+these shapes — see PERF.md).
 """
 
 from __future__ import annotations

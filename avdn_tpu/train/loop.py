@@ -50,6 +50,7 @@ from avdn_tpu.train.step import (
 )
 from avdn_tpu.train import checkpoints as ckpt
 from avdn_tpu.utils import MetricWriter, PhaseTimer, set_random_seed, time_since
+from avdn_tpu.utils.profiling import profile_trace
 
 
 def build_models(args: Args):
@@ -169,16 +170,20 @@ def build_dataset(args: Args):
 
 
 def _eval_env(args, env, eval_fn, state, tokenizer, bank, bcfg,
-              rng) -> Dict[str, dict]:
+              rng, on_batch=None) -> Dict[str, dict]:
     """One full pass over a val env; returns preds keyed by instr_id.
     Wrap-around duplicate items overwrite by key (reference agent.test,
-    agent.py:204-206)."""
+    agent.py:204-206). ``on_batch(out_host, meta)`` observes each batch's
+    raw rollout outputs (debug-image dumps)."""
     preds: Dict[str, dict] = {}
     for items in env:
         bank_arr, slot_of = bank.prepare(items)
         batch, meta = make_train_batch(items, tokenizer, slot_of, bcfg)
         out = eval_fn(state, bank_arr, batch, rng)
-        preds.update(assemble_trajectories(jax.device_get(out), meta))
+        out_host = jax.device_get(out)
+        preds.update(assemble_trajectories(out_host, meta))
+        if on_batch is not None:
+            on_batch(out_host, meta)
     return preds
 
 
@@ -204,11 +209,38 @@ def _write_debug_images(args, env, preds, env_name):
     save_debug_overlays(args.pred_dir, env_name, preds, host_maps, items_by_id)
 
 
+def _write_saliency_debug(args, env_name, out, meta):
+    """Per-step pred/GT attention heatmaps + input views during the
+    teacher-forced HA eval in inference mode (agent.py:694-706): one jpg
+    triple per item per step while the episode loop is still running."""
+    from avdn_tpu.viz import save_saliency_heatmaps
+
+    out_dir = os.path.join(args.pred_dir, "debug_images")
+    alive_any = np.asarray(out.alive_pre).any(axis=1)  # (T,)
+    pred = np.asarray(out.pred_sal)
+    gt = np.asarray(out.gt_sal)
+    views = np.asarray(out.views) if out.views is not None else None
+    for t in range(pred.shape[0]):
+        if not alive_any[t]:
+            break
+        for i, m in enumerate(meta):
+            map_name, route = m["instr_id"].split("__", 1)
+            tag = f"{env_name}val{map_name}_{route}"
+            save_saliency_heatmaps(
+                out_dir, tag, pred[t, i], gt[t, i],
+                view=None if views is None else views[t, i], step=t,
+            )
+
+
 def run_validation(args, state, val_envs, eval_student, eval_teacher,
                    tokenizer, bank, bcfg, writer, step: int,
-                   eval_student_test=None):
+                   eval_student_test=None, eval_teacher_debug=None):
     """Student nav eval + teacher-forced HA eval over all val envs
-    (main.py:188-239). Returns {env_name: avg_metrics}."""
+    (main.py:188-239). Returns {env_name: avg_metrics}.
+
+    With ``eval_teacher_debug`` (a collect_debug rollout) in inference mode,
+    per-step saliency heatmaps are written to preds/debug_images
+    (agent.py:694-706)."""
     results = {}
     rng = jax.random.PRNGKey(args.seed)
     loss_str = f"iter {step}"
@@ -232,8 +264,15 @@ def run_validation(args, state, val_envs, eval_student, eval_teacher,
     for env_name, env in val_envs.items():
         if "test_unseen" in env_name:
             continue
-        preds = _eval_env(args, env, eval_teacher, state, tokenizer, bank,
-                          bcfg, rng)
+        teacher_fn, on_batch = eval_teacher, None
+        if args.inference and eval_teacher_debug is not None:
+            teacher_fn = eval_teacher_debug
+
+            def on_batch(out, meta, _env=env_name):
+                _write_saliency_debug(args, _env, out, meta)
+
+        preds = _eval_env(args, env, teacher_fn, state, tokenizer, bank,
+                          bcfg, rng, on_batch=on_batch)
         ha_avg, _ = eval_metrics(preds, human_att_eval=True)
         results[env_name + "_human_att"] = ha_avg
         loss_str += f", {env_name}_human_att " + "".join(
@@ -308,6 +347,7 @@ def train(args: Args):
     rng = jax.random.PRNGKey(args.seed + 1)
     start = time.time()
 
+    n_steps = 0
     for idx in range(start_iter, start_iter + args.iters, interval):
         it = idx + interval
         losses = []
@@ -319,8 +359,16 @@ def train(args: Args):
                     batch, _ = make_train_batch(items, tokenizer, slot_of, bcfg)
                 with timers("train_step"):
                     rng, r = jax.random.split(rng)
-                    state, metrics = train_step(state, bank_arr, batch, r)
+                    if args.profile_dir and n_steps == 1:
+                        # trace the second step — the first one compiles
+                        with profile_trace(args.profile_dir):
+                            state, metrics = train_step(state, bank_arr, batch, r)
+                            jax.block_until_ready(metrics["loss"])
+                        writer.text(f"profiler trace written to {args.profile_dir}")
+                    else:
+                        state, metrics = train_step(state, bank_arr, batch, r)
                 losses.append(metrics["loss"])
+                n_steps += 1
         il_loss = float(np.mean([jax.device_get(l) for l in losses]))
         writer.scalars(it, {"loss/IL_loss": il_loss})
         writer.text(f"\nIL_loss {il_loss:.4f}")
@@ -380,12 +428,19 @@ def valid(args: Args):
                                              teacher=False))
     eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
                                              teacher=True, collect_ha=True))
+    eval_teacher_debug = (
+        jax.jit(make_eval_rollout(cfg, bert, darknet, vln, teacher=True,
+                                  collect_ha=True, collect_debug=True))
+        if args.inference else None
+    )
     eval_student_test = (
         jax.jit(make_eval_rollout(cfg, bert, darknet, vln, teacher=False,
                                   compute_losses=False))
         if args.submit else None
     )
-    run_validation(args, state, val_envs, eval_student, eval_teacher,
-                   tokenizer, bank, bcfg, writer, int(jax.device_get(state.step)),
-                   eval_student_test)
+    with profile_trace(args.profile_dir or None):
+        run_validation(args, state, val_envs, eval_student, eval_teacher,
+                       tokenizer, bank, bcfg, writer,
+                       int(jax.device_get(state.step)),
+                       eval_student_test, eval_teacher_debug=eval_teacher_debug)
     writer.close()

@@ -279,13 +279,16 @@ def make_train_step(
 
 def make_eval_rollout(cfg: TrainConfig, bert_model, darknet_model, vln_model,
                       teacher: bool, collect_ha: bool = False,
-                      compute_losses: bool = True) -> Callable:
+                      compute_losses: bool = True,
+                      collect_debug: bool = False) -> Callable:
     """Build the jitted eval rollout:
     ``eval_fn(state, map_bank, batch, rng) -> RolloutOutputs``.
 
     ``teacher=False`` is the nav eval (student-forced closed loop);
     ``teacher=True`` with ``collect_ha`` is the human-attention eval
-    (src/xview_et/main.py:188-239).
+    (src/xview_et/main.py:188-239). ``collect_debug`` additionally returns
+    per-step views and pred/GT saliency maps for the inference-mode
+    attention debug images (agent.py:694-706).
     """
     models = (darknet_model, vln_model)
 
@@ -300,6 +303,8 @@ def make_eval_rollout(cfg: TrainConfig, bert_model, darknet_model, vln_model,
             train=False,
             collect_ha_metrics=collect_ha,
             compute_losses=compute_losses,
+            collect_views=collect_debug,
+            collect_saliency=collect_debug,
         )
         trainable = {
             "bert": state.bert_params,

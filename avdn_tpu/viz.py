@@ -81,24 +81,27 @@ def draw_trajectory_overlay(
 
 
 def save_saliency_heatmaps(out_dir: str, tag: str, pred_sal: np.ndarray,
-                           gt_sal: np.ndarray, view: Optional[np.ndarray] = None):
-    """JET-colormap saliency dumps per step (agent.py:700-706)."""
+                           gt_sal: np.ndarray, view: Optional[np.ndarray] = None,
+                           step: Optional[int] = None):
+    """JET-colormap saliency dumps; with ``step``, filenames match the
+    reference's ``..._pred_att_{t}.jpg`` scheme (agent.py:700-706)."""
     if cv2 is None:
         raise RuntimeError("OpenCV unavailable")
     os.makedirs(out_dir, exist_ok=True)
+    sfx = "" if step is None else f"_{step}"
     ps = np.clip(pred_sal, 0, 1)
     denom = ps.max() if ps.max() > 0 else 1.0
     cv2.imwrite(
-        os.path.join(out_dir, f"{tag}_pred_att.jpg"),
+        os.path.join(out_dir, f"{tag}_pred_att{sfx}.jpg"),
         cv2.applyColorMap(np.uint8(255 * ps / denom), cv2.COLORMAP_JET),
     )
     cv2.imwrite(
-        os.path.join(out_dir, f"{tag}_gt_att.jpg"),
+        os.path.join(out_dir, f"{tag}_gt_att{sfx}.jpg"),
         cv2.applyColorMap(np.uint8(255 * np.clip(gt_sal, 0, 1)), cv2.COLORMAP_JET),
     )
     if view is not None:
-        cv2.imwrite(os.path.join(out_dir, f"{tag}_input.jpg"),
-                    view[:, :, ::-1])
+        cv2.imwrite(os.path.join(out_dir, f"{tag}_input{sfx}.jpg"),
+                    np.uint8(np.clip(view, 0, 255))[:, :, ::-1])
 
 
 def save_debug_overlays(pred_dir: str, env_name: str, preds: Dict[str, dict],

@@ -101,6 +101,56 @@ class TestMaps:
         _, slot_of2 = bank.prepare(items)
         assert slot_of == slot_of2
 
+    def test_oversized_tile_grows_bank(self, fixture_root):
+        """Tiles larger than the slot shape must auto-grow the bank, never
+        silently crop (real xView tiles can exceed any fixed default after
+        the square-pixel width rescale, src/env.py:217-221)."""
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 4, seed=0)
+        items = next(iter(ds))
+        img_dir = os.path.join(fixture_root, "AVDN", "train_images")
+        bank = DeviceMapBank(img_dir, (128, 128), n_slots=3, grow_quantum=64)
+        arr, slot_of = bank.prepare(items)
+        name = items[0]["map_name"]
+        full = load_map_image(os.path.join(img_dir, name + ".tif"),
+                              items[0]["lng_ratio"], items[0]["lat_ratio"])
+        assert arr.shape[1] >= full.shape[0] and arr.shape[2] >= full.shape[1]
+        assert arr.shape[1] % 64 == 0 and arr.shape[2] % 64 == 0
+        got = np.asarray(arr[slot_of[name]])[: full.shape[0], : full.shape[1]]
+        np.testing.assert_array_equal(got, full)
+
+    def test_growth_preserves_resident_slots(self, fixture_root):
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 4, seed=0)
+        items = next(iter(ds))
+        img_dir = os.path.join(fixture_root, "AVDN", "train_images")
+        bank = DeviceMapBank(img_dir, (512, 512), n_slots=4, grow_quantum=128)
+        arr, slot_of = bank.prepare(items)
+        name = items[0]["map_name"]
+        before = np.asarray(arr[slot_of[name]])
+        # a synthetic oversized map forces growth while `name` stays resident
+        rng = np.random.default_rng(0)
+        bank._host_cache["huge"] = rng.integers(
+            0, 255, (700, 900, 3), dtype=np.uint8
+        )
+        big_item = dict(items[0], map_name="huge")
+        arr2, slot_of2 = bank.prepare(items + [big_item])
+        assert bank.bank_hw == (768, 1024)
+        assert slot_of2[name] == slot_of[name]  # slot retained
+        after = np.asarray(arr2[slot_of2[name]])[:512, :512]
+        np.testing.assert_array_equal(after, before)
+        got = np.asarray(arr2[slot_of2["huge"]])[:700, :900]
+        np.testing.assert_array_equal(got, bank._host_cache["huge"])
+
+    def test_oversized_tile_raises_when_growth_disabled(self, fixture_root):
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 4, seed=0)
+        items = next(iter(ds))
+        img_dir = os.path.join(fixture_root, "AVDN", "train_images")
+        bank = DeviceMapBank(img_dir, (128, 128), n_slots=3, auto_grow=False)
+        with pytest.raises(ValueError, match="exceeds bank slots"):
+            bank.prepare(items)
+
 
 class TestBatcher:
     def test_make_train_batch(self, fixture_root):

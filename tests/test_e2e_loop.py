@@ -100,6 +100,30 @@ class TestEndToEnd:
         # inference mode writes trajectory-overlay debug images
         dbg = os.listdir(os.path.join(args.pred_dir, "debug_images"))
         assert any(f.endswith(".jpg") for f in dbg)
+        # ... and per-step saliency heatmaps from the teacher-forced HA eval
+        # (agent.py:694-706): pred/gt/input triples with step suffixes
+        assert any("_pred_att_" in f for f in dbg)
+        assert any("_gt_att_" in f for f in dbg)
+        assert any("_input_" in f for f in dbg)
+        # step-0 triple exists for a val_seen item
+        assert any(f.startswith("val_seen") and f.endswith("_pred_att_0.jpg")
+                   for f in dbg)
+
+    def test_inference_profile_trace(self, run_dirs, tmp_path_factory):
+        """--profile_dir captures a jax profiler trace during validation."""
+        from avdn_tpu.train.loop import valid
+
+        root, out, cfg_path = run_dirs
+        prof = str(tmp_path_factory.mktemp("prof"))
+        args = make_args(root, out, cfg_path, inference=True,
+                         profile_dir=prof)
+        args.resume_file = os.path.join(args.ckpt_dir, "best_val_unseen")
+        valid(args)
+        traces = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(prof) for f in fs
+        ]
+        assert any(f.endswith(".xplane.pb") or ".trace" in f for f in traces), traces
 
     def test_inference_submit_dumps_testset_npy(self, run_dirs, tmp_path,
                                                 monkeypatch):
