@@ -66,7 +66,12 @@ class Args:
     family: str = "et"
     bf16: bool = False  # bfloat16 compute in the model towers (fp32 params)
     render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
+    render_twopass: bool = False  # full-res 2-pass MXU warp (PERF.md)
+    render_crop: int = 512  # 2-pass source window, >= max view edge in px
     profile_dir: Optional[str] = None  # capture a jax profiler trace here
+    grad_accum: int = 1  # micro-batch count (batch_size must divide evenly)
+    async_ckpt: bool = True  # background orbax writes
+    prefetch: bool = True  # overlap host batch assembly with device steps
     # derived
     train_dataset_dir: str = ""
     val_dataset_dir: str = ""
@@ -86,6 +91,7 @@ class Args:
 _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
     "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
+    "render_twopass", "async_ckpt", "prefetch",
 }
 
 

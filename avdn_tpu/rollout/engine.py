@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import flax.struct
 
 from avdn_tpu.sim.render import render_batch
+from avdn_tpu.sim.warp2pass import render_batch_twopass
 from avdn_tpu.sim.dynamics import move_view_corners_batch
 from avdn_tpu.sim.oracle import teacher_action_batch
 from avdn_tpu.ops.losses import step_losses
@@ -86,6 +87,8 @@ class RolloutConfig:
     collect_views: bool = False        # debug: return rendered views
     collect_saliency: bool = False     # debug: return pred/GT saliency maps
     render_subsample: int = 1          # >1: fast (non-parity) warp, PERF.md
+    render_twopass: bool = False       # full-res 2-pass MXU warp (PERF.md)
+    render_crop: int = 512             # 2-pass source window (>= max view px)
 
 
 @flax.struct.dataclass
@@ -147,10 +150,16 @@ def rollout(
 
         # ---- render current views on device ----
         quad_img = _corners_to_img(corners, batch.extent, batch.lat_ratio)
-        views, gt_sal = render_batch(
-            map_bank, batch.map_idx, quad_img, batch.circles, batch.n_circles,
-            subsample=cfg.render_subsample,
-        )
+        if cfg.render_twopass:
+            views, gt_sal = render_batch_twopass(
+                map_bank, batch.map_idx, quad_img, batch.circles,
+                batch.n_circles, crop_hw=cfg.render_crop,
+            )
+        else:
+            views, gt_sal = render_batch(
+                map_bank, batch.map_idx, quad_img, batch.circles,
+                batch.n_circles, subsample=cfg.render_subsample,
+            )
         x = (views - RGB_MEAN) / RGB_STD
 
         rad = directions / 180.0 * _PI_REF

@@ -1,0 +1,206 @@
+"""Two-pass MXU perspective warp — the full-resolution fast render mode.
+
+The exact render path is a 4-tap bilinear gather: 224²·B random single-pixel
+accesses per step, measured gather-bound at ≈1 G elements/s (PERF.md "The
+warp-gather bottleneck"). This module replaces the gather with two 1-D
+resampling passes whose work is *dense contractions* (MXU food) instead of
+random access — the classic Catmull–Smith decomposition, here kept EXACT for
+perspective:
+
+For a homography H mapping the unit output square onto the source quad, the
+iso-rows of the output (fixed v) map to *straight lines* in the source:
+``sy = a(v)·sx + b(v)`` (the denominators of sx and sy share the same linear
+form in u, so eliminating u leaves an affine relation — ``_iso_row_coeffs``).
+Hence:
+
+* **pass A** (vertical): for every source column x, resample it at
+  ``Y(v, x) = a(v)·x + b(v)`` → intermediate I[x, v];
+* **pass B** (horizontal): for every output row v, resample I[:, v] at
+  ``X(u, v)`` (the x-component of the inverse map) → out[v, u].
+
+Each pass is an einsum against tent (linear-interpolation) weights generated
+on the fly from per-line positions, chunked so peak memory stays bounded.
+Border semantics match cv2's ``borderValue=0`` (src/env.py:290-292): a tent
+tap outside the crop contributes zero — identical to the constant-0 border.
+
+Rotation degeneracy (the classic bottleneck problem): when the output-u axis
+maps closer to source-y (headings near 90°/270°), iso-row lines become
+near-vertical and a(v) blows up. Detected per item from the quad's first
+edge and handled by swapping the source axes (transposed crop), which bounds
+|a(v)| ≤ ~1.
+
+Accuracy: NOT bit-identical to single-pass bilinear — the two-pass kernel
+blends along the (slightly rotated) iso-row axis, a sub-pixel difference
+proportional to local image curvature. Quantified vs cv2 in
+tests/test_warp2pass.py; use the exact path for strict cv2 parity.
+
+The source window is a fixed-size crop (``crop_hw``, static) dynamic-sliced
+around the quad: views larger than the crop render black beyond it — size
+``crop_hw`` to the dataset's max view edge in pixels (the 400 m altitude cap
+/ lat_ratio, src/xview_et/agent.py:285-384).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from avdn_tpu.sim.render import square_to_quad_homography, saliency_at, VIEW_HW
+
+
+def _iso_row_coeffs(H: jnp.ndarray, out_hw: int):
+    """Per-output-row source-line coefficients (a(v), b(v)): sy = a·sx + b.
+
+    For fixed unit-square y: sx = (q·u + p)/(s·u + r), sy = (q'·u + p')/(s·u + r)
+    share the denominator; eliminating u:
+    sy = [(p'·s − q'·r)·sx + (q'·p − p'·q)] / (s·p − q·r).
+    """
+    yu = jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0)
+    p = H[0, 1] * yu + H[0, 2]
+    q = H[0, 0]
+    r = H[2, 1] * yu + 1.0
+    s = H[2, 0]
+    pp = H[1, 1] * yu + H[1, 2]
+    qp = H[1, 0]
+    den = s * p - q * r
+    den = jnp.where(jnp.abs(den) > 1e-12, den,
+                    jnp.where(den >= 0, 1e-12, -1e-12))
+    a = (pp * s - qp * r) / den
+    b = (qp * p - pp * q) / den
+    return a, b
+
+
+def _out_grid_coords(H: jnp.ndarray, out_hw: int):
+    """Inverse-map source coords of every output pixel: (out, out, 2)."""
+    pos = jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0)
+    ys, xs = jnp.meshgrid(pos, pos, indexing="ij")
+    pts = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
+    mapped = pts @ H.T
+    den = mapped[..., 2:3]
+    return mapped[..., :2] / jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+
+
+def _tent(positions: jnp.ndarray, length: int, dtype) -> jnp.ndarray:
+    """Linear-interp weights W[..., l, m] = max(0, 1 − |l − pos[..., m]|).
+
+    A position fully outside [−1, length] gives an all-zero column — cv2's
+    constant-0 border falls out for free.
+    """
+    l_idx = jnp.arange(length, dtype=jnp.float32)
+    w = 1.0 - jnp.abs(l_idx[..., :, None] - positions[..., None, :])
+    return jnp.maximum(w, 0.0).astype(dtype)
+
+
+def _warp_item(map_bank, idx, quad_xy, crop_hw: int, out_hw: int,
+               chunk_a: int, chunk_b: int, compute_dtype):
+    """Two-pass warp of one item from the bank. Returns (out, out, 3) f32."""
+    Hm, Wm = map_bank.shape[1], map_bank.shape[2]
+
+    # --- rotation-degeneracy swap: keep the u axis closer to source-x ---
+    edge = quad_xy[1] - quad_xy[0]
+    swap = jnp.abs(edge[0]) < jnp.abs(edge[1])
+    quad_sw = jnp.where(swap, quad_xy[:, ::-1], quad_xy)
+
+    H3 = square_to_quad_homography(quad_sw.astype(jnp.float32))
+
+    # --- fixed-size crop around the quad (swapped source = transposed) ---
+    src_h = jnp.where(swap, Wm, Hm)
+    src_w = jnp.where(swap, Hm, Wm)
+    mins = jnp.min(quad_sw, axis=0)
+    y0 = jnp.clip(jnp.floor(mins[1]).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(src_h - crop_hw, 0))
+    x0 = jnp.clip(jnp.floor(mins[0]).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(src_w - crop_hw, 0))
+    # slice the window for both orientations directly from the bank (only
+    # crop-sized slabs are ever materialised), then select branch-free
+    crop_n = jax.lax.dynamic_slice(
+        map_bank, (idx, y0, x0, 0), (1, crop_hw, crop_hw, 3)
+    )[0]
+    crop_t = jnp.swapaxes(
+        jax.lax.dynamic_slice(
+            map_bank, (idx, x0, y0, 0), (1, crop_hw, crop_hw, 3)
+        )[0], 0, 1,
+    )
+    crop = jnp.where(swap, crop_t, crop_n).astype(compute_dtype)
+
+    # --- per-line sample positions (crop-relative) ---
+    a, b = _iso_row_coeffs(H3, out_hw)                    # (out,)
+    x_abs = x0.astype(jnp.float32) + jnp.arange(crop_hw, dtype=jnp.float32)
+    posA = a[None, :] * x_abs[:, None] + b[None, :] - y0.astype(jnp.float32)
+    coords = _out_grid_coords(H3, out_hw)                 # (out, out, 2)
+    posB = coords[..., 0] - x0.astype(jnp.float32)        # (v, u)
+
+    # --- pass A: vertical resample of every crop column at Y(v, x) ---
+    # I[x, v, c] = Σ_h WA[x, h, v] · crop[h, x, c]
+    assert crop_hw % chunk_a == 0, (crop_hw, chunk_a)
+
+    def passA(i):
+        cols = jax.lax.dynamic_slice(crop, (0, i * chunk_a, 0),
+                                     (crop_hw, chunk_a, 3))
+        pa = jax.lax.dynamic_slice(posA, (i * chunk_a, 0), (chunk_a, out_hw))
+        WA = _tent(pa, crop_hw, compute_dtype)            # (ch, crop, out)
+        return jnp.einsum("xhv,hxc->xvc", WA, cols,
+                          preferred_element_type=jnp.float32)
+
+    I = jax.lax.map(passA, jnp.arange(crop_hw // chunk_a))
+    I = I.reshape(crop_hw, out_hw, 3).astype(compute_dtype)
+
+    # --- pass B: horizontal resample of I rows at X(u, v) ---
+    # out[v, u, c] = Σ_x WB[v, x, u] · I[x, v, c]
+    assert out_hw % chunk_b == 0, (out_hw, chunk_b)
+
+    def passB(i):
+        pb = jax.lax.dynamic_slice(posB, (i * chunk_b, 0), (chunk_b, out_hw))
+        Iv = jax.lax.dynamic_slice(I, (0, i * chunk_b, 0),
+                                   (crop_hw, chunk_b, 3))
+        WB = _tent(pb, crop_hw, compute_dtype)            # (ch, crop, out)
+        return jnp.einsum("vxu,xvc->vuc", WB, Iv,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(passB, jnp.arange(out_hw // chunk_b))
+    return out.reshape(out_hw, out_hw, 3).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "round_corners", "crop_hw", "chunk", "bf16"),
+)
+def render_batch_twopass(
+    map_bank: jnp.ndarray,
+    map_idx: jnp.ndarray,
+    src_quads_xy: jnp.ndarray,
+    circles: jnp.ndarray,
+    n_circles: jnp.ndarray,
+    out_hw: int = VIEW_HW,
+    round_corners: bool = True,
+    crop_hw: int = 512,
+    chunk: int = 64,
+    bf16: bool = True,
+):
+    """Drop-in fast replacement for ``render_batch``: full-resolution
+    two-pass MXU warp + the exact analytic saliency.
+
+    Returns (views (B, out, out, 3) float32, saliency (B, out, out)).
+    """
+    if round_corners:
+        src_quads_xy = jnp.round(src_quads_xy)
+    if bf16 and jax.default_backend() == "cpu":
+        bf16 = False  # the CPU runtime lacks bf16×bf16→f32 dot
+    compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    chunk_b = chunk if out_hw % chunk == 0 else 56
+
+    views = jax.vmap(
+        lambda i, q: _warp_item(map_bank, i, q, crop_hw, out_hw, chunk,
+                                chunk_b, compute_dtype)
+    )(map_idx, src_quads_xy)
+
+    # exact analytic saliency on the true inverse-map grid (unswapped)
+    def sal_item(quad, circ, nc):
+        H3 = square_to_quad_homography(quad.astype(jnp.float32))
+        coords = _out_grid_coords(H3, out_hw)
+        return saliency_at(coords, circ, nc)
+
+    sal = jax.vmap(sal_item)(src_quads_xy, circles, n_circles)
+    return views, sal

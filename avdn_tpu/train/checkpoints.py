@@ -23,12 +23,40 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(ckpt_dir: str, name: str, state) -> str:
-    """Save a TrainState pytree. Returns the checkpoint path."""
+_async_ckptr = None
+
+
+def _async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state,
+                    asynchronous: bool = False) -> str:
+    """Save a TrainState pytree. Returns the checkpoint path.
+
+    ``asynchronous=True`` snapshots to host and writes in the background
+    (orbax AsyncCheckpointer) so the train loop doesn't stall on disk;
+    call ``wait_for_saves()`` before reading the files back.
+    """
     path = os.path.abspath(os.path.join(ckpt_dir, name))
+    if asynchronous:
+        ckptr = _async_checkpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+        return path
     ckptr = _checkpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     return path
+
+
+def wait_for_saves():
+    """Block until all async checkpoint writes are durable."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def load_checkpoint(path: str, template) -> Any:

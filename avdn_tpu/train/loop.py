@@ -140,6 +140,9 @@ def train_config_from_args(args: Args) -> TrainConfig:
         vision_only=args.vision_only,
         no_direction=args.no_direction,
         render_subsample=args.render_subsample,
+        render_twopass=args.render_twopass,
+        render_crop=args.render_crop,
+        grad_accum=args.grad_accum,
     )
 
 
@@ -324,6 +327,7 @@ def train(args: Args):
 
     start_iter = 0
     if args.resume_file:
+        ckpt.wait_for_saves()  # the file may be an in-flight async write
         fresh = state
         state = ckpt.load_checkpoint(args.resume_file, state)
         if not args.resume_optimizer:
@@ -347,16 +351,27 @@ def train(args: Args):
     rng = jax.random.PRNGKey(args.seed + 1)
     start = time.time()
 
+    def _prepare(items):
+        """Host batch assembly (bank placement + numpy batch build) — runs on
+        the prefetch thread when --prefetch is on."""
+        with timers("map_bank"):
+            bank_arr, slot_of = bank.prepare(items)
+        with timers("batch_build"):
+            batch, _ = make_train_batch(items, tokenizer, slot_of, bcfg)
+        return bank_arr, batch
+
+    def _epoch_batches():
+        if args.prefetch:
+            from avdn_tpu.data.prefetch import Prefetcher
+            return Prefetcher(train_env, _prepare, depth=2)
+        return (_prepare(items) for items in train_env)
+
     n_steps = 0
     for idx in range(start_iter, start_iter + args.iters, interval):
         it = idx + interval
         losses = []
         for _epoch in range(args.log_every):
-            for items in train_env:
-                with timers("map_bank"):
-                    bank_arr, slot_of = bank.prepare(items)
-                with timers("batch_build"):
-                    batch, _ = make_train_batch(items, tokenizer, slot_of, bcfg)
+            for bank_arr, batch in _epoch_batches():
                 with timers("train_step"):
                     rng, r = jax.random.split(rng)
                     if args.profile_dir and n_steps == 1:
@@ -374,7 +389,8 @@ def train(args: Args):
         writer.text(f"\nIL_loss {il_loss:.4f}")
         writer.text(f"phase timers: {timers.summary()}")
 
-        ckpt.save_checkpoint(args.ckpt_dir, f"latest_dict_{it}", state)
+        ckpt.save_checkpoint(args.ckpt_dir, f"latest_dict_{it}", state,
+                             asynchronous=args.async_ckpt)
         results = run_validation(args, state, val_envs, eval_student,
                                  eval_teacher, tokenizer, bank, bcfg, writer,
                                  it, eval_student_test)
@@ -383,11 +399,13 @@ def train(args: Args):
             if spl >= best_val["val_unseen"]["spl"]:
                 best_val["val_unseen"]["spl"] = spl
                 best_val["val_unseen"]["state"] = f"Iter {it} spl {spl:.2f}"
-                ckpt.save_checkpoint(args.ckpt_dir, "best_val_unseen", state)
+                ckpt.save_checkpoint(args.ckpt_dir, "best_val_unseen", state,
+                                     asynchronous=args.async_ckpt)
         writer.text(
             f"{time_since(start, (it - start_iter) / args.iters)} iter {it} "
             f"BEST: {best_val['val_unseen']['state']}"
         )
+    ckpt.wait_for_saves()
     writer.close()
 
 
@@ -400,6 +418,7 @@ def valid(args: Args):
     state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
     if args.resume_file:
         if os.path.isdir(args.resume_file):
+            ckpt.wait_for_saves()  # may be an in-flight async write
             state = ckpt.load_checkpoint(args.resume_file, state)
         else:
             # released torch checkpoint

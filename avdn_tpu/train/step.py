@@ -65,10 +65,13 @@ class TrainConfig:
     grad_clip_vln: float = 40.0
     darknet_in_vln: bool = False   # True for LSTM (clip+step with vln group)
     single_bert_pass: bool = False  # --train_val_on_full mode skips pass 2
+    grad_accum: int = 1            # micro-batch count for large global batches
     language_only: bool = False
     vision_only: bool = False
     no_direction: bool = False
     render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
+    render_twopass: bool = False  # full-res 2-pass MXU warp (PERF.md)
+    render_crop: int = 512
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
                     **kw) -> RolloutConfig:
@@ -82,6 +85,8 @@ class TrainConfig:
             language_only=self.language_only,
             no_direction=self.no_direction,
             render_subsample=self.render_subsample,
+            render_twopass=self.render_twopass,
+            render_crop=self.render_crop,
             **kw,
         )
 
@@ -212,12 +217,12 @@ def make_train_step(
     opt_vln = _make_optimizer(cfg, with_clip=True)
     models = (darknet_model, vln_model)
 
-    def loss_fn(trainable, batch_stats, map_bank, batch, rng):
+    def loss_fn(trainable, batch_stats, map_bank, batch, rng, loss_norm=None):
         r_bert, r_t, r_s = jax.random.split(rng, 3)
         bert_out = _encode_language(
             bert_model, trainable["bert"], batch, cfg, train=True, rng=r_bert
         )
-        B = batch.ids_instr.shape[0]
+        B = loss_norm if loss_norm is not None else batch.ids_instr.shape[0]
         if cfg.feedback == "teacher":
             roll = cfg.rollout_cfg(teacher=True, nss_w=cfg.nss_w)
             out, batch_stats = _run_family_rollout(
@@ -241,13 +246,51 @@ def make_train_step(
             loss = cfg.ml_weight * (out_t.loss + out_s.loss) / B
         return loss, batch_stats
 
+    def _grads_full(trainable, batch_stats, map_bank, batch, rng):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, batch_stats, map_bank, batch, rng
+        )
+        return loss, new_stats, grads
+
+    def _grads_accum(trainable, batch_stats, map_bank, batch, rng):
+        """Micro-batch the episode dimension and accumulate summed grads —
+        identical loss/grad normalisation to the full-batch step (each micro
+        loss is divided by the FULL batch size). BN running stats update
+        sequentially over micro-batches (running-average semantics only)."""
+        K = cfg.grad_accum
+        full_B = batch.ids_instr.shape[0]
+        if full_B % K != 0:
+            raise ValueError(
+                f"--grad_accum {K} must evenly divide batch_size {full_B}"
+            )
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(K, full_B // K, *x.shape[1:]), batch
+        )
+
+        def body(carry, mb_rng):
+            stats, gsum, lsum = carry
+            mb, r = mb_rng
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, stats, map_bank, mb, r, loss_norm=full_B
+            )
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return (stats, gsum, lsum + loss), None
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        rngs = jax.random.split(rng, K)
+        (new_stats, grads, loss), _ = jax.lax.scan(
+            body, (batch_stats, zeros, jnp.float32(0.0)), (micro, rngs)
+        )
+        return loss, new_stats, grads
+
     def train_step(state: TrainState, map_bank, batch: TrainBatch, rng):
         trainable = {
             "bert": state.bert_params,
             "darknet": state.darknet_params,
             "vln": state.vln_params,
         }
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        grads_fn = _grads_accum if cfg.grad_accum > 1 else _grads_full
+        loss, new_stats, grads = grads_fn(
             trainable, state.batch_stats, map_bank, batch, rng
         )
         up_b, os_b = opt_bert.update(

@@ -1,17 +1,23 @@
 """Benchmark: closed-loop episode throughput of the flagship HAA-Transformer.
 
-Measures student-forced eval rollouts (the reference's headline eval flow:
-BERT ×2 → per-step render → Darknet-53 → ET → dynamics, max_action_len=5 as
-in the shipped eval config, validation_args.json) end-to-end on the TPU,
-everything under one jit.
+Two measurements, both end-to-end under one jit on the TPU:
 
-Baseline: the CUDA reference runs this loop at batch_size=1 with per-step
+* **eval**: student-forced eval rollouts (the reference's headline eval flow:
+  BERT ×2 → per-step render → Darknet-53 → ET → dynamics) at batch 16,
+  max_action_len=5 as in the shipped eval config (validation_args.json);
+* **train**: full train steps (double rollout teacher+student, 3-way AdamW,
+  vln grad-clip) at batch 16, max_action_len=10 as in the shipped train
+  config (run_et_haa.sh).
+
+Baseline: the CUDA reference runs the eval loop at batch_size=1 with per-step
 host OpenCV rendering + Shapely geometry (SURVEY.md §3.3). Its shipped logs
 publish no throughput; we use a 4 episodes/sec estimate for a modern GPU
 (≈0.25 s/episode over 5 steps of host-render→H2D→forward→D2H→host-geometry),
 which is generous to the reference. ``vs_baseline`` is measured/4.0.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the eval
+headline) plus auxiliary keys ``train_episodes_per_sec`` and the measured
+shapes.
 """
 
 import json
@@ -21,27 +27,39 @@ import numpy as np
 
 REFERENCE_EPISODES_PER_SEC = 4.0  # documented estimate, see module docstring
 
+BATCH = 16
+EVAL_T = 5    # shipped eval config (validation_args.json: max_action_len 5)
+TRAIN_BATCH = 4  # shipped train config (parser.py: --batch_size 4)
+TRAIN_T = 10  # shipped train config (parser.py: --max_action_len 10)
 
-def main():
+
+def _timed(fn, *args):
+    import jax
+
+    o = fn(*args)  # compile + warmup
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    o = fn(*args)
+    jax.block_until_ready(o)
+    return time.perf_counter() - t0
+
+
+def bench_eval():
     import jax
     import jax.numpy as jnp
-    from avdn_tpu.data.synthetic import synthetic_world
-    from avdn_tpu.train import make_eval_rollout, TrainBatch
+    from avdn_tpu.train import make_eval_rollout
     import __graft_entry__ as g
 
-    BATCH = 16
-    T = 5
     world, cfg, (bert, dk, et), state, batch = g._flagship(
-        batch_size=BATCH, map_px=1024, max_action_len=T, seed=0
+        batch_size=BATCH, map_px=1024, max_action_len=EVAL_T, seed=0
     )
     eval_fn = make_eval_rollout(cfg, bert, dk, et, teacher=False)
     bank = jnp.asarray(world.map_bank)
+    n_iters = 10
 
     # measure with the repetition loop INSIDE jit: this backend's host
     # dispatch pipelines/caches identical calls, so only in-graph repetition
     # reports true device time (PERF.md)
-    n_iters = 10
-
     def many(state, bank, batch, rng):
         def body(i, acc):
             k = jax.random.fold_in(rng, i)
@@ -58,22 +76,52 @@ def main():
 
         return jax.lax.fori_loop(0, n_iters, body, 0.0)
 
-    fn = jax.jit(many)
-    o = fn(state, bank, batch, jax.random.PRNGKey(0))  # compile + warmup
-    jax.block_until_ready(o)
-    t0 = time.perf_counter()
-    o = fn(state, bank, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(o)
-    dt = time.perf_counter() - t0
+    dt = _timed(jax.jit(many), state, bank, batch, jax.random.PRNGKey(1))
+    return BATCH * n_iters / dt
 
-    episodes_per_sec = BATCH * n_iters / dt
+
+def bench_train():
+    import jax
+    import jax.numpy as jnp
+    from avdn_tpu.train import make_train_step
+    import __graft_entry__ as g
+
+    world, cfg, (bert, dk, et), state, batch = g._flagship(
+        batch_size=TRAIN_BATCH, map_px=1024, max_action_len=TRAIN_T, seed=0
+    )
+    step_fn = make_train_step(cfg, bert, dk, et)
+    bank = jnp.asarray(world.map_bank)
+    n_iters = 4
+
+    # hoist-proof by construction: the optimizer state threads through the
+    # loop carry, so every iteration depends on the previous one
+    def many(state, bank, batch, rng):
+        def body(i, carry):
+            st, acc = carry
+            k = jax.random.fold_in(rng, i)
+            st, metrics = step_fn(st, bank, batch, k)
+            return st, acc + metrics["loss"]
+
+        _, acc = jax.lax.fori_loop(0, n_iters, body, (state, 0.0))
+        return acc
+
+    dt = _timed(jax.jit(many), state, bank, batch, jax.random.PRNGKey(2))
+    return TRAIN_BATCH * n_iters / dt
+
+
+def main():
+    eval_eps = bench_eval()
+    train_eps = bench_train()
     print(
         json.dumps(
             {
                 "metric": "episodes_per_sec_et_eval_rollout",
-                "value": round(episodes_per_sec, 2),
+                "value": round(eval_eps, 2),
                 "unit": "episodes/s",
-                "vs_baseline": round(episodes_per_sec / REFERENCE_EPISODES_PER_SEC, 2),
+                "vs_baseline": round(eval_eps / REFERENCE_EPISODES_PER_SEC, 2),
+                "train_episodes_per_sec": round(train_eps, 2),
+                "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
+                "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",
             }
         )
     )

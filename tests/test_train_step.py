@@ -113,6 +113,42 @@ class TestTrainStepET:
         assert np.isfinite(np.asarray(out.actions_wp)).all()
 
 
+class TestGradAccum:
+    def test_accum_trains_and_matches_scale(self):
+        """grad_accum=2 on B=4: runs and learns. The loss is NOT expected to
+        match the full-batch step exactly: the engine's any-alive loss gating
+        is batch-scoped (reference semantics — agent.py:663-669 accumulates
+        for ended items until the whole batch ends, and the loop break at
+        agent.py:771 is batch-wide), and dropout rngs/BN stats are per-micro.
+        Accumulation therefore behaves like running K smaller reference
+        batches with full-batch normalisation — same order of magnitude."""
+        import dataclasses as dc
+
+        world, cfg, (bert, dk, vln), state, batch = build_tiny(
+            "et", batch_size=4, seed=3
+        )
+        cfg2 = dc.replace(cfg, grad_accum=2)
+        step1 = jax.jit(make_train_step(cfg, bert, dk, vln))
+        step2 = jax.jit(make_train_step(cfg2, bert, dk, vln))
+        bank = jnp.asarray(world.map_bank)
+        r = jax.random.PRNGKey(0)
+        _, m1 = step1(state, bank, batch, r)
+        _, m2 = step2(state, bank, batch, r)
+        l1, l2 = float(m1["loss"]), float(m2["loss"])
+        assert np.isfinite(l1) and np.isfinite(l2)
+        assert 0.5 < l2 / l1 < 2.0, (l1, l2)
+
+        # and it learns
+        st = state
+        losses = []
+        rng = jax.random.PRNGKey(1)
+        for _ in range(6):
+            rng, rr = jax.random.split(rng)
+            st, m = step2(st, bank, batch, rr)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+
+
 class TestTrainStepLSTM:
     def test_loss_decreases(self):
         world, cfg, (bert, dk, vln), state, batch = build_tiny("lstm")

@@ -52,3 +52,44 @@ class TestCollectives:
         assert rows == [{"a": 1.0, "b": 2.0}]
         avg = reduce_mean_metrics({"a": 3.0})
         assert avg == {"a": 3.0}
+
+
+class TestPrefetcher:
+    def test_order_and_completion(self):
+        from avdn_tpu.data.prefetch import Prefetcher
+
+        seen = []
+        pf = Prefetcher(range(20), lambda x: x * x, depth=3)
+        for v in pf:
+            seen.append(v)
+        assert seen == [i * i for i in range(20)]
+
+    def test_producer_exception_surfaces(self):
+        from avdn_tpu.data.prefetch import Prefetcher
+
+        def boom(x):
+            if x == 3:
+                raise ValueError("boom")
+            return x
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="boom"):
+            list(Prefetcher(range(10), boom))
+
+    def test_slow_consumer_backpressure(self):
+        import time
+        from avdn_tpu.data.prefetch import Prefetcher
+
+        produced = []
+
+        def prep(x):
+            produced.append(x)
+            return x
+
+        pf = Prefetcher(range(100), prep, depth=2)
+        it = iter(pf)
+        next(it)
+        time.sleep(0.05)
+        # queue depth bounds run-ahead: consumer took 1, queue holds <= 2(+1)
+        assert len(produced) <= 5
+        assert list(it) == list(range(1, 100))
