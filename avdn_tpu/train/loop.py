@@ -159,14 +159,15 @@ def batcher_config(args: Args) -> BatcherConfig:
 
 
 def build_dataset(args: Args):
+    ft = args.train_val_on_full  # full-trajectory concatenation mode
     train_env = ANDHDataset(args.train_anno_dir, ["train"], args.batch_size,
-                            seed=args.seed)
+                            seed=args.seed, full_traj=ft)
     val_names = ["val_seen", "val_unseen"]
     if args.submit:
         val_names.append("test_unseen")
     val_envs = {
         name: ANDHDataset(args.val_anno_dir, [name], args.batch_size,
-                          seed=args.seed)
+                          seed=args.seed, full_traj=ft)
         for name in val_names
     }
     return train_env, val_envs

@@ -152,6 +152,79 @@ class TestMaps:
             bank.prepare(items)
 
 
+class TestFullTrajectoryMode:
+    """--train_val_on_full dataset concatenation (the reference designed it
+    but left it commented out, src/env.py:107-168)."""
+
+    def _round(self, traj, k, map_name="m", n_steps=2, last=3, angle=90.0):
+        base = 0.001 * k
+        path = [
+            [[base + 1e-4 * s, base], [base + 1e-4 * s, base + 1e-4],
+             [base + 1e-4 * s + 1e-4, base + 1e-4],
+             [base + 1e-4 * s + 1e-4, base]]
+            for s in range(n_steps)
+        ]
+        return {
+            "map_name": map_name,
+            "route_index": f"{traj}_{k}",
+            "angle": angle,
+            "last_round_idx": last,
+            "gt_path_corners": path,
+            "instructions": f"Round {k} INSTRUCTION.",
+            "pre_dialogs": [f"[QUE] q{k}"],
+            "attention_list": [[[0.001 * j, 0.001], 10 + j]
+                               for j in range(k)],
+            "lat_ratio": 2e-5,
+            "lng_ratio": 2e-5,
+            "gps_botm_left": [0.0, 0.0],
+            "gps_top_right": [0.01, 0.01],
+            "destination": path[-1],
+        }
+
+    def test_concatenation_semantics(self):
+        from avdn_tpu.data.annotations import _concat_full_trajectories
+
+        raw = [
+            self._round("7", 1, angle=0.0),
+            self._round("7", 2, angle=90.0),
+            self._round("7", 3, angle=220.0),
+            self._round("8", 1, last=1, angle=45.0),
+        ]
+        out = _concat_full_trajectories(raw)
+        assert len(out) == 2
+        full = next(o for o in out if o["route_index"].startswith("7"))
+        # rounds joined with [SEP] + compass naming (env.py:147-149)
+        assert "round 1 instruction." in full["instructions"]
+        assert "[sep] facing east" in full["instructions"]
+        assert "[sep] facing southwest" in full["instructions"]
+        # corners: 3 rounds x 2 steps + appended goal view (env.py:157-168)
+        assert len(full["gt_path_corners"]) == 7
+        goal = full["gt_path_corners"][-1]
+        # the goal square is built from the BASE round's destination field —
+        # in AVDN every round carries the same full-trajectory destination,
+        # and the reference reads it off the round-1 item (env.py:157)
+        des = np.asarray(raw[0]["destination"])
+        np.testing.assert_allclose(goal.mean(axis=0), des.mean(axis=0),
+                                   atol=1e-6)
+        # goal view edge >= the 40m floor (env.py:161)
+        edge = np.linalg.norm(goal[0] - goal[1])
+        assert edge >= 40 / 11.13 / 1e4 - 1e-9
+        # attention list comes from the LAST round (env.py:150)
+        assert len(full["attention_list"]) == 3
+        # single-round trajectory passes through with just the goal appended
+        single = next(o for o in out if o["route_index"].startswith("8"))
+        assert len(single["gt_path_corners"]) == 3
+
+    def test_dataset_full_traj_flag(self, fixture_root):
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 2, seed=0, full_traj=True)
+        # fixture items are single-round: one episode per item, each with the
+        # goal view appended
+        assert ds.size() == 4
+        for it in ds.data:
+            assert isinstance(it["gt_path_corners"][-1], np.ndarray)
+
+
 class TestBatcher:
     def test_make_train_batch(self, fixture_root):
         anno = os.path.join(fixture_root, "AVDN", "annotations")
