@@ -189,6 +189,11 @@ def render_batch_twopass(
     if bf16 and jax.default_backend() == "cpu":
         bf16 = False  # the CPU runtime lacks bf16×bf16→f32 dot
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    # the crop can never exceed the bank's map dims (both static here);
+    # keep it chunk-aligned after clamping
+    max_crop = min(map_bank.shape[1], map_bank.shape[2])
+    if crop_hw > max_crop:
+        crop_hw = max(chunk, (max_crop // chunk) * chunk)
     chunk_b = chunk if out_hw % chunk == 0 else 56
 
     views = jax.vmap(

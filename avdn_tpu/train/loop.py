@@ -122,6 +122,34 @@ def init_state(args: Args, bert, darknet, vln, cfg: TrainConfig, rng):
     return create_train_state(cfg, bert_vars, dk_vars, vln_vars)
 
 
+_MAX_VIEW_EDGE_M = 400.0  # altitude cap (agent.py:285-384 zoom clamp)
+_DEG_TO_M = 11.13e4
+
+
+def _auto_render_crop(anno_dir: str, splits) -> int:
+    """Derive the two-pass warp crop from the dataset: the largest possible
+    view edge is 400 m; its rotated bounding box spans edge·√2. Rounded up
+    to a multiple of 64 with a 2 px border margin."""
+    import math
+
+    from avdn_tpu.data.annotations import load_annotations
+
+    lat = min(it["lat_ratio"] for it in load_annotations(anno_dir, splits))
+    edge_px = _MAX_VIEW_EDGE_M / (lat * _DEG_TO_M)
+    need = edge_px * math.sqrt(2.0) + 4
+    return max(256, int(-(-need // 64) * 64))
+
+
+def resolve_render_crop(args: Args) -> Args:
+    """``--render_crop 0`` → auto-size from the annotations."""
+    if args.render_twopass and args.render_crop == 0:
+        args.render_crop = _auto_render_crop(args.train_anno_dir, ["train"])
+        print(f"render_crop auto-derived: {args.render_crop}px")
+    elif args.render_crop == 0:
+        args.render_crop = 512
+    return args
+
+
 def train_config_from_args(args: Args) -> TrainConfig:
     return TrainConfig(
         family=args.family,
@@ -301,6 +329,7 @@ def _enable_compile_cache(args: Args):
 def train(args: Args):
     set_random_seed(args.seed)
     _enable_compile_cache(args)
+    args = resolve_render_crop(args)
     cfg = train_config_from_args(args)
     bert, darknet, vln = build_models(args)
     state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
@@ -315,7 +344,10 @@ def train(args: Args):
         json.dump(vars(args), f, indent=4, default=str)
 
     train_env, val_envs = build_dataset(args)
-    train_step = jax.jit(make_train_step(cfg, bert, darknet, vln))
+    # donate the incoming state: params/opt buffers are updated in place
+    # instead of doubling HBM residency across the step boundary
+    train_step = jax.jit(make_train_step(cfg, bert, darknet, vln),
+                         donate_argnums=0)
     eval_student = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
                                              teacher=False))
     eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
@@ -414,6 +446,7 @@ def valid(args: Args):
     """Inference mode (main.py:253-288)."""
     set_random_seed(args.seed)
     _enable_compile_cache(args)
+    args = resolve_render_crop(args)
     cfg = train_config_from_args(args)
     bert, darknet, vln = build_models(args)
     state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))

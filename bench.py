@@ -21,6 +21,7 @@ shapes.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -44,7 +45,21 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
-def bench_eval():
+def _enable_compile_cache():
+    """Persistent XLA compile cache — the full train-step grad compile takes
+    ~25 min cold on this backend; cached reruns are seconds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
+def bench_eval(twopass: bool = False):
+    import dataclasses
     import jax
     import jax.numpy as jnp
     from avdn_tpu.train import make_eval_rollout
@@ -53,6 +68,8 @@ def bench_eval():
     world, cfg, (bert, dk, et), state, batch = g._flagship(
         batch_size=BATCH, map_px=1024, max_action_len=EVAL_T, seed=0
     )
+    if twopass:
+        cfg = dataclasses.replace(cfg, render_twopass=True, render_crop=512)
     eval_fn = make_eval_rollout(cfg, bert, dk, et, teacher=False)
     bank = jnp.asarray(world.map_bank)
     n_iters = 10
@@ -110,15 +127,19 @@ def bench_train():
 
 
 def main():
+    _enable_compile_cache()
     eval_eps = bench_eval()
+    eval_twopass_eps = bench_eval(twopass=True)
     train_eps = bench_train()
     print(
         json.dumps(
             {
+                # headline stays the exact-parity mode; fast modes are aux
                 "metric": "episodes_per_sec_et_eval_rollout",
                 "value": round(eval_eps, 2),
                 "unit": "episodes/s",
                 "vs_baseline": round(eval_eps / REFERENCE_EPISODES_PER_SEC, 2),
+                "eval_twopass_episodes_per_sec": round(eval_twopass_eps, 2),
                 "train_episodes_per_sec": round(train_eps, 2),
                 "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
                 "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",

@@ -1,0 +1,107 @@
+"""Multi-host smoke test: two real processes through jax.distributed.
+
+The reference's multi-GPU path never actually synchronised anything (DDP
+commented out, SURVEY.md §2.2); ours must. This spawns two OS processes,
+bootstraps them through ``init_distributed`` (coordinator rendezvous, the
+role of the reference's NCCL file rendezvous, src/utils/distributed.py:56-61),
+and checks:
+
+* a cross-process psum over a 2-process × k-device CPU mesh,
+* ``all_gather_metrics`` / ``reduce_mean_metrics`` host-side exchange.
+
+Runs on CPU with gloo collectives — the TPU-world pattern (pods bootstrap
+the same way with auto-detected arguments).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from avdn_tpu.parallel.collectives import (
+    init_distributed, all_gather_metrics, reduce_mean_metrics,
+)
+
+coord = sys.argv[1]
+pid = int(sys.argv[2])
+rank = init_distributed(coordinator=coord, num_processes=2, process_id=pid)
+assert rank == pid, (rank, pid)
+assert jax.process_count() == 2
+assert jax.device_count() == 4      # 2 procs x 2 virtual cpu devices
+assert len(jax.local_devices()) == 2
+
+# cross-process psum over the global mesh
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.experimental import multihost_utils
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(4), ("data",))
+local = np.full((2, 3), float(pid + 1), np.float32)  # 2 local shards
+garr = multihost_utils.host_local_array_to_global_array(
+    local, mesh, P("data"))
+
+def f(x):
+    return jax.lax.psum(jnp.sum(x, axis=-1), "data")
+
+out = jax.jit(
+    jax.shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P()),
+)(garr)
+got = float(np.asarray(jax.device_get(out))[0])
+# rows: proc0 contributes 2 rows of 1s, proc1 2 rows of 2s -> sum = 2*3*1 + 2*3*2
+assert got == 18.0, got
+
+rows = all_gather_metrics({"loss": float(pid), "n": 1.0})
+assert len(rows) == 2
+assert sorted(r["loss"] for r in rows) == [0.0, 1.0]
+
+avg = reduce_mean_metrics({"loss": float(pid)})
+assert avg["loss"] == 0.5, avg
+
+print(f"proc {pid} OK")
+"""
+
+
+@pytest.mark.skipif(os.environ.get("AVDN_SKIP_MULTIHOST") == "1",
+                    reason="multihost smoke disabled")
+def test_two_process_collectives(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid} OK" in out
