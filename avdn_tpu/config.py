@@ -70,6 +70,7 @@ class Args:
     render_crop: int = 512  # 2-pass source window, >= max view edge in px
     profile_dir: Optional[str] = None  # capture a jax profiler trace here
     grad_accum: int = 1  # micro-batch count (batch_size must divide evenly)
+    remat: bool = False  # rematerialise rollout steps (fit bigger train batches)
     async_ckpt: bool = True  # background orbax writes
     prefetch: bool = True  # overlap host batch assembly with device steps
     # derived
@@ -91,7 +92,7 @@ class Args:
 _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
     "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
-    "render_twopass", "async_ckpt", "prefetch",
+    "render_twopass", "async_ckpt", "prefetch", "remat",
 }
 
 

@@ -144,13 +144,23 @@ class DeviceMapBank:
         for name in unique:
             if name in self._slots:
                 slot_of[name] = self._slots.index(name)
-        incoming = [it for it in batch_items if it["map_name"] not in slot_of]
-        # de-dup incoming by name, load all first so growth happens once
-        to_place: Dict[str, np.ndarray] = {}
-        for it in incoming:
-            name = it["map_name"]
-            if name not in to_place:
-                to_place[name] = self._load_host(it)
+        incoming = []
+        seen = set(slot_of)
+        for it in batch_items:
+            if it["map_name"] not in seen:
+                seen.add(it["map_name"])
+                incoming.append(it)
+        # decode cache-missing tiles in parallel (cv2.imread + the native
+        # resampler both release the GIL), then place; growth happens once
+        misses = [it for it in incoming if it["map_name"] not in self._host_cache]
+        if len(misses) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(misses))) as ex:
+                list(ex.map(self._load_host, misses))
+        to_place: Dict[str, np.ndarray] = {
+            it["map_name"]: self._load_host(it) for it in incoming
+        }
         self._ensure_fits(list(to_place.values()))
         H, W = self.bank_hw
         for name, img in to_place.items():

@@ -89,6 +89,8 @@ class RolloutConfig:
     render_subsample: int = 1          # >1: fast (non-parity) warp, PERF.md
     render_twopass: bool = False       # full-res 2-pass MXU warp (PERF.md)
     render_crop: int = 512             # 2-pass source window (>= max view px)
+    remat: bool = False                # rematerialise the scan body under AD:
+    # trades recompute for activation memory so larger train batches fit HBM
 
 
 @flax.struct.dataclass
@@ -279,8 +281,9 @@ def rollout(
         jnp.float32(0.0),
         rng,
     )
+    body_fn = jax.checkpoint(body) if cfg.remat else body
     (final_corners, final_dirs, ended, model_state, loss, _), ys = jax.lax.scan(
-        body, init, jnp.arange(T)
+        body_fn, init, jnp.arange(T)
     )
     outputs = RolloutOutputs(
         alive_pre=ys["alive_pre"],

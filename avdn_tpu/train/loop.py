@@ -171,6 +171,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         render_twopass=args.render_twopass,
         render_crop=args.render_crop,
         grad_accum=args.grad_accum,
+        remat=args.remat,
     )
 
 

@@ -113,6 +113,27 @@ class TestTrainStepET:
         assert np.isfinite(np.asarray(out.actions_wp)).all()
 
 
+class TestRemat:
+    def test_remat_matches_baseline_exactly(self):
+        """--remat recomputes scan-step activations under AD; the math is
+        identical, so loss AND grads must match the non-remat step."""
+        import dataclasses as dc
+
+        world, cfg, (bert, dk, vln), state, batch = build_tiny("et")
+        bank = jnp.asarray(world.map_bank)
+        r = jax.random.PRNGKey(0)
+        _, m0 = jax.jit(make_train_step(cfg, bert, dk, vln))(
+            state, bank, batch, r
+        )
+        cfg_r = dc.replace(cfg, remat=True)
+        _, m1 = jax.jit(make_train_step(cfg_r, bert, dk, vln))(
+            state, bank, batch, r
+        )
+        assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-5
+        assert abs(float(m0["grad_norm_vln"]) - float(m1["grad_norm_vln"])) < 1e-3
+        assert abs(float(m0["grad_norm_bert"]) - float(m1["grad_norm_bert"])) < 1e-3
+
+
 class TestGradAccum:
     def test_accum_trains_and_matches_scale(self):
         """grad_accum=2 on B=4: runs and learns. The loss is NOT expected to
