@@ -132,4 +132,8 @@ def postprocess_args(args: Args) -> Args:
         os.makedirs(d, exist_ok=True)
     if args.train_val_on_full:
         args.max_action_len *= 4  # reference main.py:292-293
+        # concatenated GT paths grow with the round count; widen the static
+        # pad so the appended goal view area is never truncated (the
+        # reference keeps unbounded lists, env.py:263-268)
+        args.max_gt_len = args.max_gt_len * 4 + 1
     return args

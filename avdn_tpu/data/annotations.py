@@ -51,9 +51,12 @@ def _concat_full_trajectories(new_data: List[dict]) -> List[dict]:
     src/env.py:107-168 — rebuilt here as a supported feature).
 
     Per (map, trajectory) group: start from round 1; for each later round k
-    append ``' [SEP] facing <compass> ' + instructions`` to the text, take
-    the LAST round's attention_list (it accumulates all earlier rounds'
-    circles upstream, env.py:150 comment), and concatenate gt_path_corners.
+    append ``' [SEP] facing ' + <compass> + instructions`` — the compass
+    word is glued to the next round's text with NO separating space,
+    faithfully matching the reference's concatenation (env.py:147-149) —
+    take the LAST round's attention_list (it accumulates all earlier
+    rounds' circles upstream, env.py:150 comment), and concatenate
+    gt_path_corners.
     Tiny (<10 cm) noise is added to every corner (env.py:155) and a final
     square goal view area built from the destination corners is appended
     (env.py:157-168).

@@ -281,7 +281,9 @@ def rollout(
         jnp.float32(0.0),
         rng,
     )
-    body_fn = jax.checkpoint(body) if cfg.remat else body
+    # prevent_cse=False: safe (and faster) under lax.scan, which already
+    # provides the barrier jax.checkpoint's CSE workaround exists for
+    body_fn = jax.checkpoint(body, prevent_cse=False) if cfg.remat else body
     (final_corners, final_dirs, ended, model_state, loss, _), ys = jax.lax.scan(
         body_fn, init, jnp.arange(T)
     )

@@ -47,7 +47,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from avdn_tpu.sim.render import square_to_quad_homography, saliency_at, VIEW_HW
+from avdn_tpu.sim.render import (
+    square_to_quad_homography,
+    saliency_at,
+    view_to_map_coords,
+    VIEW_HW,
+)
 
 
 def _iso_row_coeffs(H: jnp.ndarray, out_hw: int):
@@ -70,16 +75,6 @@ def _iso_row_coeffs(H: jnp.ndarray, out_hw: int):
     a = (pp * s - qp * r) / den
     b = (qp * p - pp * q) / den
     return a, b
-
-
-def _out_grid_coords(H: jnp.ndarray, out_hw: int):
-    """Inverse-map source coords of every output pixel: (out, out, 2)."""
-    pos = jnp.arange(out_hw, dtype=jnp.float32) / (out_hw - 1.0)
-    ys, xs = jnp.meshgrid(pos, pos, indexing="ij")
-    pts = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)
-    mapped = pts @ H.T
-    den = mapped[..., 2:3]
-    return mapped[..., :2] / jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
 
 
 def _tent(positions: jnp.ndarray, length: int, dtype) -> jnp.ndarray:
@@ -129,7 +124,7 @@ def _warp_item(map_bank, idx, quad_xy, crop_hw: int, out_hw: int,
     a, b = _iso_row_coeffs(H3, out_hw)                    # (out,)
     x_abs = x0.astype(jnp.float32) + jnp.arange(crop_hw, dtype=jnp.float32)
     posA = a[None, :] * x_abs[:, None] + b[None, :] - y0.astype(jnp.float32)
-    coords = _out_grid_coords(H3, out_hw)                 # (out, out, 2)
+    coords = view_to_map_coords(quad_sw.astype(jnp.float32), out_hw)
     posB = coords[..., 0] - x0.astype(jnp.float32)        # (v, u)
 
     # --- pass A: vertical resample of every crop column at Y(v, x) ---
@@ -189,8 +184,9 @@ def render_batch_twopass(
     if bf16 and jax.default_backend() == "cpu":
         bf16 = False  # the CPU runtime lacks bf16×bf16→f32 dot
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    # the crop can never exceed the bank's map dims (both static here);
-    # keep it chunk-aligned after clamping
+    # chunk-align the crop (round up — never shrink the window a user asked
+    # for), then clamp to the bank's map dims (all static here)
+    crop_hw = -(-crop_hw // chunk) * chunk
     max_crop = min(map_bank.shape[1], map_bank.shape[2])
     if crop_hw > max_crop:
         crop_hw = max(chunk, (max_crop // chunk) * chunk)
@@ -203,8 +199,7 @@ def render_batch_twopass(
 
     # exact analytic saliency on the true inverse-map grid (unswapped)
     def sal_item(quad, circ, nc):
-        H3 = square_to_quad_homography(quad.astype(jnp.float32))
-        coords = _out_grid_coords(H3, out_hw)
+        coords = view_to_map_coords(quad.astype(jnp.float32), out_hw)
         return saliency_at(coords, circ, nc)
 
     sal = jax.vmap(sal_item)(src_quads_xy, circles, n_circles)

@@ -129,21 +129,33 @@ _DEG_TO_M = 11.13e4
 def _auto_render_crop(anno_dir: str, splits) -> int:
     """Derive the two-pass warp crop from the dataset: the largest possible
     view edge is 400 m; its rotated bounding box spans edge·√2. Rounded up
-    to a multiple of 64 with a 2 px border margin."""
+    to a multiple of 64 with a small border margin. Scans the raw JSON for
+    ``lat_ratio`` only (no full annotation normalisation)."""
     import math
 
-    from avdn_tpu.data.annotations import load_annotations
-
-    lat = min(it["lat_ratio"] for it in load_annotations(anno_dir, splits))
-    edge_px = _MAX_VIEW_EDGE_M / (lat * _DEG_TO_M)
+    lats = []
+    for split in splits:
+        path = os.path.join(anno_dir, f"{split}_data.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            lats.extend(it["lat_ratio"] for it in json.load(f))
+    if not lats:
+        return 512
+    edge_px = _MAX_VIEW_EDGE_M / (min(lats) * _DEG_TO_M)
     need = edge_px * math.sqrt(2.0) + 4
     return max(256, int(-(-need // 64) * 64))
 
 
 def resolve_render_crop(args: Args) -> Args:
-    """``--render_crop 0`` → auto-size from the annotations."""
+    """``--render_crop 0`` → auto-size from the annotations of EVERY split
+    the run touches (a val map with finer lat_ratio needs a larger window
+    than any train map)."""
     if args.render_twopass and args.render_crop == 0:
-        args.render_crop = _auto_render_crop(args.train_anno_dir, ["train"])
+        splits = ["train", "val_seen", "val_unseen"]
+        if args.submit:
+            splits.append("test_unseen")
+        args.render_crop = _auto_render_crop(args.train_anno_dir, splits)
         print(f"render_crop auto-derived: {args.render_crop}px")
     elif args.render_crop == 0:
         args.render_crop = 512

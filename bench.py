@@ -6,8 +6,8 @@ Two measurements, both end-to-end under one jit on the TPU:
   BERT ×2 → per-step render → Darknet-53 → ET → dynamics) at batch 16,
   max_action_len=5 as in the shipped eval config (validation_args.json);
 * **train**: full train steps (double rollout teacher+student, 3-way AdamW,
-  vln grad-clip) at batch 16, max_action_len=10 as in the shipped train
-  config (run_et_haa.sh).
+  vln grad-clip) at batch 4, max_action_len=10 as in the shipped train
+  config (parser.py --batch_size 4, run_et_haa.sh).
 
 Baseline: the CUDA reference runs the eval loop at batch_size=1 with per-step
 host OpenCV rendering + Shapely geometry (SURVEY.md §3.3). Its shipped logs
@@ -34,10 +34,12 @@ TRAIN_BATCH = 4  # shipped train config (parser.py: --batch_size 4)
 TRAIN_T = 10  # shipped train config (parser.py: --max_action_len 10)
 
 
-def _timed(fn, *args):
+def _timed(fn, args, warm_args):
+    """Warm up with DIFFERENT arguments than the timed call — this backend's
+    host dispatch caches identical calls (PERF.md)."""
     import jax
 
-    o = fn(*args)  # compile + warmup
+    o = fn(*warm_args)  # compile + warmup
     jax.block_until_ready(o)
     t0 = time.perf_counter()
     o = fn(*args)
@@ -93,7 +95,11 @@ def bench_eval(twopass: bool = False):
 
         return jax.lax.fori_loop(0, n_iters, body, 0.0)
 
-    dt = _timed(jax.jit(many), state, bank, batch, jax.random.PRNGKey(1))
+    import jax as _jax
+
+    f = _jax.jit(many)
+    dt = _timed(f, (state, bank, batch, _jax.random.PRNGKey(1)),
+                (state, bank, batch, _jax.random.PRNGKey(0)))
     return BATCH * n_iters / dt
 
 
@@ -122,7 +128,9 @@ def bench_train():
         _, acc = jax.lax.fori_loop(0, n_iters, body, (state, 0.0))
         return acc
 
-    dt = _timed(jax.jit(many), state, bank, batch, jax.random.PRNGKey(2))
+    f = jax.jit(many)
+    dt = _timed(f, (state, bank, batch, jax.random.PRNGKey(2)),
+                (state, bank, batch, jax.random.PRNGKey(3)))
     return TRAIN_BATCH * n_iters / dt
 
 

@@ -40,6 +40,10 @@ def test_train_val_on_full_scales_horizon(tmp_path, monkeypatch):
     args = parse_args(["--output_dir", "o", "--max_action_len", "10",
                        "--train_val_on_full", "True"])
     assert args.max_action_len == 40
+    # the GT-path pad must also widen so the concatenated trajectory's
+    # appended goal view area survives batching (batcher clamps to
+    # max_gt_len; the reference keeps unbounded lists, env.py:263-268)
+    assert args.max_gt_len == 12 * 4 + 1
 
 
 def test_family_flag(tmp_path, monkeypatch):
