@@ -152,3 +152,17 @@ class TestEndToEnd:
         train(args)
         assert any(n.startswith("latest_dict_")
                    for n in os.listdir(args.ckpt_dir))
+
+    def test_train_loop_fast_modes(self, run_dirs, tmp_path_factory):
+        """The production-speed combo through the full driver:
+        --render_twopass (auto crop) + --remat + --grad_accum."""
+        from avdn_tpu.train.loop import train
+
+        root, _, cfg_path = run_dirs
+        out = str(tmp_path_factory.mktemp("out_fast"))
+        args = make_args(root, out, cfg_path, render_twopass=True,
+                         render_crop=0, remat=True, grad_accum=2)
+        train(args)
+        assert args.render_crop > 0  # auto-derived
+        names = os.listdir(args.ckpt_dir)
+        assert "best_val_unseen" in names

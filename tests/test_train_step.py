@@ -204,6 +204,28 @@ class TestDataParallel:
         leaf = jax.tree_util.tree_leaves(new_state.vln_params)[0]
         assert len(leaf.sharding.device_set) == 8
 
+    def test_sharded_step_with_twopass_and_remat(self):
+        """The fast-mode combo (--render_twopass --remat) must partition
+        over the DP mesh: per-item dynamic bank slices + jax.checkpoint
+        under a sharded batch."""
+        import dataclasses as dc
+
+        world, cfg, (bert, dk, vln), state, batch = build_tiny(
+            "et", batch_size=8, seed=9, max_action_len=2
+        )
+        cfg = dc.replace(cfg, render_twopass=True, render_crop=128,
+                         remat=True)
+        mesh = make_mesh(8)
+        rep = replicated_sharding(mesh)
+        state = jax.device_put(state, rep)
+        bank = jax.device_put(jnp.asarray(world.map_bank), rep)
+        batch = shard_episode_batch(batch, mesh)
+        step_fn = jax.jit(make_train_step(cfg, bert, dk, vln))
+        new_state, metrics = step_fn(state, bank, batch, jax.random.PRNGKey(10))
+        assert np.isfinite(float(metrics["loss"]))
+        leaf = jax.tree_util.tree_leaves(new_state.vln_params)[0]
+        assert len(leaf.sharding.device_set) == 8
+
     def test_dp_matches_single_device(self):
         """The sharded step must produce the same params as the unsharded
         step (same global batch, replicated params → identical math)."""
