@@ -287,6 +287,10 @@ def run_validation(args, state, val_envs, eval_student, eval_teacher,
     per-step saliency heatmaps are written to preds/debug_images
     (agent.py:694-706)."""
     results = {}
+    # One fixed key for every eval batch, by design: eval runs
+    # deterministic=True throughout (dropout off, BERT rngs unused), and the
+    # only rng consumer left is the heading-loss jitter inside the unused
+    # eval losses — reusing the key keeps evaluation exactly reproducible.
     rng = jax.random.PRNGKey(args.seed)
     loss_str = f"iter {step}"
     for env_name, env in val_envs.items():
