@@ -7,6 +7,7 @@ from avdn_tpu.utils.logging import (
 )
 from avdn_tpu.utils.seed import set_random_seed
 from avdn_tpu.utils.profiling import profile_trace
+from avdn_tpu.utils.debug import device_memory_census, format_memory_census
 
 __all__ = [
     "write_to_record_file",
@@ -16,4 +17,6 @@ __all__ = [
     "print_progress",
     "set_random_seed",
     "profile_trace",
+    "device_memory_census",
+    "format_memory_census",
 ]

@@ -93,3 +93,18 @@ class TestPrefetcher:
         # queue depth bounds run-ahead: consumer took 1, queue holds <= 2(+1)
         assert len(produced) <= 5
         assert list(it) == list(range(1, 100))
+
+
+class TestDebugCensus:
+    def test_census_sees_live_arrays(self):
+        import jax.numpy as jnp
+        from avdn_tpu.utils.debug import device_memory_census, format_memory_census
+
+        keep = jnp.ones((64, 128), jnp.float32)
+        rows = device_memory_census()
+        assert any(k == "float32[64, 128]" for k, n, b in rows), rows
+        row = next(r for r in rows if r[0] == "float32[64, 128]")
+        assert row[2] >= 64 * 128 * 4
+        text = format_memory_census()
+        assert "total live device memory" in text
+        del keep
