@@ -95,6 +95,39 @@ _BOOL_FLAGS = {
     "render_twopass", "async_ckpt", "prefetch", "remat",
 }
 
+_HELP = {
+    "root_dir": "dataset root (expects AVDN/{annotations,train_images})",
+    "output_dir": "run directory (ckpts/, logs/, preds/ are created inside)",
+    "iters": "total training iterations",
+    "log_every": "epochs per interval (checkpoint + full validation)",
+    "eval_first": "run a full validation pass before training",
+    "inference": "evaluation-only mode (writes valid.txt + debug images)",
+    "max_instr_len": "instruction token pad (static shape)",
+    "max_action_len": "episode horizon (reference: 10 train / 5 eval)",
+    "resume_file": "checkpoint dir (ours) or released torch .pt to load",
+    "resume_optimizer": "also restore optimizer state on resume",
+    "nss_w": "saliency NSS loss weight (student phase)",
+    "darknet_model_file": "darknet .cfg (default: generated darknet-53 tower)",
+    "darknet_weight_file": "YOLO pretrain best.pt to import",
+    "bert_vocab_file": "bert-base-uncased vocab.txt for exact token parity",
+    "feedback": "'student' (teacher+student double rollout) or 'teacher'",
+    "train_val_on_full": "full-trajectory mode: stitch dialog rounds into one episode",
+    "submit": "add test_unseen and dump the Eval.ai output_test_result.npy",
+    "family": "'et' (HAA-Transformer) or 'lstm' (HAA-LSTM)",
+    "bf16": "bfloat16 tower compute (fp32 params); opt-in speed mode",
+    "render_subsample": ">1: low-res warp + upscale (fastest render)",
+    "render_twopass": "full-res 2-pass MXU warp, ~5-9x the exact render",
+    "render_crop": "2-pass source window in px; 0 = auto-size from dataset",
+    "profile_dir": "capture a jax profiler trace into this directory",
+    "grad_accum": "micro-batch count; must divide batch_size",
+    "remat": "recompute rollout activations under AD (fit bigger batches)",
+    "async_ckpt": "background orbax checkpoint writes",
+    "prefetch": "overlap host batch assembly with device steps",
+    "map_bank_slots": "HBM map slots (>= distinct maps per batch)",
+    "map_bank_px": "map slot edge in px (auto-grows for larger tiles)",
+    "dialog_pad": "dialog-history token pad for BERT pass 2",
+}
+
 
 def parse_args(argv=None, family: str = "et") -> Args:
     parser = argparse.ArgumentParser(description="avdn_tpu")
@@ -104,14 +137,17 @@ def parse_args(argv=None, family: str = "et") -> Args:
                       "val_anno_dir", "ckpt_dir", "log_dir", "pred_dir"):
             continue
         name = "--" + f.name
+        help_text = _HELP.get(f.name)
         if f.name in _BOOL_FLAGS:
             # accept both `--flag` and `--flag True` (the shipped scripts
             # pass values, run_et_haa.sh:33)
             parser.add_argument(name, nargs="?", const=True, default=getattr(defaults, f.name),
-                                type=lambda v: str(v).lower() in ("1", "true", "yes"))
+                                type=lambda v: str(v).lower() in ("1", "true", "yes"),
+                                help=help_text)
         else:
             typ = type(getattr(defaults, f.name)) if getattr(defaults, f.name) is not None else str
-            parser.add_argument(name, type=typ, default=getattr(defaults, f.name))
+            parser.add_argument(name, type=typ, default=getattr(defaults, f.name),
+                                help=help_text)
     ns, _unknown = parser.parse_known_args(argv)
     args = Args(**{f.name: getattr(ns, f.name, getattr(defaults, f.name))
                    for f in dataclasses.fields(Args)})
