@@ -343,8 +343,24 @@ def _enable_compile_cache(args: Args):
         pass
 
 
+def _check_dataset(args: Args, splits):
+    """Fail fast (before the expensive model init) when the dataset is
+    missing, with a message that names the flag to fix."""
+    missing = [
+        s for s in splits
+        if not os.path.exists(os.path.join(args.train_anno_dir, f"{s}_data.json"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"annotation files for splits {missing} not found under "
+            f"{args.train_anno_dir} — point --root_dir at a dataset root "
+            "containing AVDN/{annotations,train_images}"
+        )
+
+
 def train(args: Args):
     set_random_seed(args.seed)
+    _check_dataset(args, ["train", "val_seen", "val_unseen"])
     _enable_compile_cache(args)
     args = resolve_render_crop(args)
     cfg = train_config_from_args(args)
@@ -462,6 +478,7 @@ def train(args: Args):
 def valid(args: Args):
     """Inference mode (main.py:253-288)."""
     set_random_seed(args.seed)
+    _check_dataset(args, ["val_seen", "val_unseen"])
     _enable_compile_cache(args)
     args = resolve_render_crop(args)
     cfg = train_config_from_args(args)
