@@ -6,6 +6,11 @@ import sys
 
 
 def main(argv=None, family: str = "et"):
+    # multi-process bootstrap must precede any XLA backend creation (module
+    # imports below touch jnp) — no-op unless AVDN_NUM_PROCESSES is set
+    from avdn_tpu.parallel.runtime import maybe_init_distributed
+
+    maybe_init_distributed()
     from avdn_tpu.config import parse_args
     from avdn_tpu.train.loop import train, valid
 

@@ -21,8 +21,10 @@ class Args:
     root_dir: str = "./datasets"
     output_dir: str = "default"
     seed: int = 0
-    # distributed
-    world_size: int = 1
+    # distributed: 0 = auto (all visible chips that divide batch_size);
+    # >0 = exactly that many data-parallel workers (single process: local
+    # chips; multi process: must equal the jax process count)
+    world_size: int = 0
     # schedule
     iters: int = 300000
     log_every: int = 1000
@@ -68,6 +70,7 @@ class Args:
     render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
     render_twopass: bool = False  # full-res 2-pass MXU warp (PERF.md)
     render_crop: int = 512  # 2-pass source window, >= max view edge in px
+    render_bf16: bool = True  # bf16 two-pass warp einsums (fp32 for parity)
     profile_dir: Optional[str] = None  # capture a jax profiler trace here
     grad_accum: int = 1  # micro-batch count (batch_size must divide evenly)
     remat: bool = False  # rematerialise rollout steps (fit bigger train batches)
@@ -92,12 +95,14 @@ class Args:
 _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
     "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
-    "render_twopass", "async_ckpt", "prefetch", "remat",
+    "render_twopass", "render_bf16", "async_ckpt", "prefetch", "remat",
 }
 
 _HELP = {
     "root_dir": "dataset root (expects AVDN/{annotations,train_images})",
     "output_dir": "run directory (ckpts/, logs/, preds/ are created inside)",
+    "world_size": "data-parallel workers: 0 = auto (all chips that divide "
+                  "batch_size); >0 exact (multi-process: the process count)",
     "iters": "total training iterations",
     "log_every": "epochs per interval (checkpoint + full validation)",
     "eval_first": "run a full validation pass before training",
@@ -118,8 +123,11 @@ _HELP = {
     "render_subsample": ">1: low-res warp + upscale (fastest render)",
     "render_twopass": "full-res 2-pass MXU warp, ~5-9x the exact render",
     "render_crop": "2-pass source window in px; 0 = auto-size from dataset",
+    "render_bf16": "two-pass warp in bfloat16 (default); False = tighter fp32",
     "profile_dir": "capture a jax profiler trace into this directory",
-    "grad_accum": "micro-batch count; must divide batch_size",
+    "grad_accum": "micro-batch count; must divide batch_size. NOT numerically "
+                  "identical to the full batch: episode-alive loss gating, BN "
+                  "stats, and dropout draws are per-micro-batch (PERF.md)",
     "remat": "recompute rollout activations under AD (fit bigger batches)",
     "async_ckpt": "background orbax checkpoint writes",
     "prefetch": "overlap host batch assembly with device steps",

@@ -141,9 +141,26 @@ class ANDHDataset:
 
     def __init__(self, anno_dir: str, splits: List[str], batch_size: int,
                  seed: int = 0, data: Optional[List[dict]] = None,
-                 full_traj: bool = False):
+                 full_traj: bool = False,
+                 shard: Optional[tuple] = None):
         self.data = (data if data is not None
                      else load_annotations(anno_dir, splits, full_traj))
+        self.total_size = len(self.data)
+        if shard is not None and shard[1] > 1:
+            # per-process shard for multi-process data parallelism: strided
+            # split padded by wrap-around so every process yields the SAME
+            # number of batches per epoch (divergent counts would deadlock
+            # the collective inside the jitted step). The reference seeds
+            # per rank but never shards (src/xview_et/main.py:294-304;
+            # unsynced replicas — SURVEY §2.2); this is the corrected form.
+            idx, count = shard
+            target = -(-self.total_size // count)
+            part = self.data[idx::count]
+            k = 0
+            while len(part) < target:
+                part.append(self.data[k % self.total_size])
+                k += 1
+            self.data = part
         self.batch_size = batch_size
         self.seed = seed
         self._rng = random.Random(seed)
@@ -158,7 +175,11 @@ class ANDHDataset:
             batch = self.data[ix : ix + bs]
             if len(batch) < bs:
                 self._rng.shuffle(self.data)
-                batch = batch + self.data[: bs - len(batch)]
+                # loops when the split itself is smaller than the refill
+                # (the reference takes one slice, env.py:203-208 — identical
+                # whenever len(data) >= batch_size)
+                while len(batch) < bs:
+                    batch = batch + self.data[: bs - len(batch)]
             yield batch
 
     def num_batches(self) -> int:

@@ -10,7 +10,9 @@ renderer tests them analytically (see sim.render).
 
 Device caching: each unique map occupies one fixed-shape HBM slot; slots are
 freed when a map is absent from the incoming batch (same eviction policy as
-the reference's ``map_batch`` dict, src/env.py:234-240) and reused.
+the reference's ``map_batch`` dict, src/env.py:234-240) and reused. The
+*host* decode cache is a bounded LRU instead (deviation: the reference
+re-decodes any map that leaves a batch and returns — PARITY.md).
 """
 
 from __future__ import annotations
@@ -76,18 +78,39 @@ class DeviceMapBank:
 
     def __init__(self, dataset_dir: str, bank_hw: Tuple[int, int],
                  n_slots: int = 8, auto_grow: bool = True,
-                 grow_quantum: int = 512):
+                 grow_quantum: int = 512, sharding=None,
+                 host_cache_maps: Optional[int] = None):
         import jax
         import jax.numpy as jnp
+        from collections import OrderedDict
 
         self.dataset_dir = dataset_dir
         self.bank_hw = bank_hw
         self.n_slots = n_slots
         self.auto_grow = auto_grow
         self.grow_quantum = grow_quantum
+        self.sharding = sharding  # replicate over a mesh (parallel.runtime)
+        # Host decode cache: bounded LRU instead of the reference's
+        # batch-scoped eviction (src/env.py:234-240) — a map alternating
+        # between batches would otherwise re-decode its GeoTIFF every time
+        # (benign deviation, PARITY.md). Default bound: 2× the device slots.
+        self.host_cache_maps = (host_cache_maps if host_cache_maps is not None
+                                else 2 * n_slots)
         self._slots: List[Optional[str]] = [None] * n_slots
-        self._host_cache: Dict[str, np.ndarray] = {}
-        self._bank = jnp.zeros((n_slots, bank_hw[0], bank_hw[1], 3), jnp.uint8)
+        self._host_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._bank = self._place(
+            jnp.zeros((n_slots, bank_hw[0], bank_hw[1], 3), jnp.uint8)
+        )
+
+    def _place(self, arr):
+        import jax
+
+        return arr if self.sharding is None else jax.device_put(arr, self.sharding)
+
+    @property
+    def array(self):
+        """The current device bank (as last returned by ``prepare``)."""
+        return self._bank
 
     def _load_host(self, item: dict) -> np.ndarray:
         name = item["map_name"]
@@ -97,6 +120,7 @@ class DeviceMapBank:
                 item["lng_ratio"], item["lat_ratio"],
             )
             self._host_cache[name] = img
+        self._host_cache.move_to_end(name)
         return self._host_cache[name]
 
     def _ensure_fits(self, imgs: List[np.ndarray]):
@@ -115,9 +139,20 @@ class DeviceMapBank:
                 f"{self.bank_hw} and auto_grow is off — raise --map_bank_px"
             )
         q = self.grow_quantum
-        new_h = max(H, -(-need_h // q) * q)
-        new_w = max(W, -(-need_w // q) * q)
-        grown = jnp.zeros((self.n_slots, new_h, new_w, 3), jnp.uint8)
+        self.grow_to(-(-need_h // q) * q, -(-need_w // q) * q)
+
+    def grow_to(self, new_h: int, new_w: int):
+        """Grow the bank to at least (new_h, new_w), preserving resident
+        slots (also called directly by the multi-process runtime to keep
+        bank shapes — and hence compiled programs — identical across
+        processes, parallel.runtime.sync_bank_growth)."""
+        import jax.numpy as jnp
+
+        H, W = self.bank_hw
+        new_h, new_w = max(H, new_h), max(W, new_w)
+        if (new_h, new_w) == (H, W):
+            return
+        grown = self._place(jnp.zeros((self.n_slots, new_h, new_w, 3), jnp.uint8))
         self._bank = grown.at[:, :H, :W].set(self._bank)
         self.bank_hw = (new_h, new_w)
 
@@ -132,10 +167,12 @@ class DeviceMapBank:
             raise ValueError(
                 f"batch needs {len(unique)} maps > bank slots {self.n_slots}"
             )
-        # evict host-cache entries not in this batch (src/env.py:234-240)
-        for k in list(self._host_cache):
-            if k not in unique:
-                del self._host_cache[k]
+        # bound the host cache by LRU (keeps maps that alternate between
+        # batches decoded; the reference instead drops everything not in the
+        # current batch, src/env.py:234-240 — documented deviation, PARITY.md)
+        for name in unique:
+            if name in self._host_cache:
+                self._host_cache.move_to_end(name)
         # free slots whose map is gone, then place new maps
         for i, owner in enumerate(self._slots):
             if owner is not None and owner not in unique:
@@ -170,4 +207,7 @@ class DeviceMapBank:
             self._bank = self._bank.at[free].set(jnp.asarray(padded))
             self._slots[free] = name
             slot_of[name] = free
+        bound = max(self.host_cache_maps, len(unique))
+        while len(self._host_cache) > bound:
+            self._host_cache.popitem(last=False)
         return self._bank, slot_of

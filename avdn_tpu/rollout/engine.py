@@ -48,9 +48,13 @@ _PI_REF = 3.14159
 
 #: RGB normalisation stats (the reference's xView constants,
 #: src/xview_et/agent.py:115-116, applied after BGR→RGB flip — our map bank
-#: is RGB from the start so they apply directly).
-RGB_MEAN = jnp.array([60.134, 49.697, 40.746], jnp.float32)
-RGB_STD = jnp.array([29.99, 24.498, 22.046], jnp.float32)
+#: is RGB from the start so they apply directly). Kept as numpy: a
+#: module-level jnp array would initialise the XLA backend at import time,
+#: breaking jax.distributed bootstrap (parallel.runtime).
+import numpy as _np
+
+RGB_MEAN = _np.array([60.134, 49.697, 40.746], _np.float32)
+RGB_STD = _np.array([29.99, 24.498, 22.046], _np.float32)
 
 
 @flax.struct.dataclass
@@ -89,6 +93,7 @@ class RolloutConfig:
     render_subsample: int = 1          # >1: fast (non-parity) warp, PERF.md
     render_twopass: bool = False       # full-res 2-pass MXU warp (PERF.md)
     render_crop: int = 512             # 2-pass source window (>= max view px)
+    render_bf16: bool = True           # bf16 warp einsums; False = fp32
     remat: bool = False                # rematerialise the scan body under AD:
     # trades recompute for activation memory so larger train batches fit HBM
 
@@ -156,6 +161,7 @@ def rollout(
             views, gt_sal = render_batch_twopass(
                 map_bank, batch.map_idx, quad_img, batch.circles,
                 batch.n_circles, crop_hw=cfg.render_crop,
+                bf16=cfg.render_bf16,
             )
         else:
             views, gt_sal = render_batch(

@@ -190,7 +190,9 @@ def render_batch_twopass(
     max_crop = min(map_bank.shape[1], map_bank.shape[2])
     if crop_hw > max_crop:
         crop_hw = max(chunk, (max_crop // chunk) * chunk)
-    chunk_b = chunk if out_hw % chunk == 0 else 56
+    # pass-B chunk must divide out_hw: the largest such divisor ≤ chunk
+    # (224 → 56 at the default chunk 64; any out_hw has divisor 1 worst-case)
+    chunk_b = max(d for d in range(1, chunk + 1) if out_hw % d == 0)
 
     views = jax.vmap(
         lambda i, q: _warp_item(map_bank, i, q, crop_hw, out_hw, chunk,

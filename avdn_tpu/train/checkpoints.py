@@ -17,10 +17,28 @@ import jax
 import numpy as np
 
 
-def _checkpointer():
+def _mp_options(ocp, scope_to_self: bool = False):
+    """Multi-process orbax barrier scoping. Saves run on process 0 only
+    (train.loop gates the call), so the checkpointer must not wait on the
+    other processes; restores run on EVERY process independently, so each
+    scopes its barriers to itself with a distinct key prefix."""
+    if jax.process_count() == 1:
+        return None
+    me = jax.process_index() if scope_to_self else 0
+    return ocp.options.MultiprocessingOptions(
+        primary_host=me, active_processes={me},
+        barrier_sync_key_prefix=f"avdn_proc{me}",
+    )
+
+
+def _checkpointer(scope_to_self: bool = False):
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer()
+    opts = _mp_options(ocp, scope_to_self)
+    if opts is None:
+        return ocp.PyTreeCheckpointer()
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                            multiprocessing_options=opts)
 
 
 _async_ckptr = None
@@ -64,7 +82,7 @@ def load_checkpoint(path: str, template) -> Any:
     matching TrainState (shapes/dtypes) used as the restore target."""
     import orbax.checkpoint as ocp
 
-    ckptr = _checkpointer()
+    ckptr = _checkpointer(scope_to_self=True)
     restored = ckptr.restore(
         os.path.abspath(path),
         item=jax.tree_util.tree_map(np.asarray, jax.device_get(template)),

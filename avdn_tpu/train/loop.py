@@ -11,6 +11,15 @@ Differences by design: evaluation reuses the in-memory TrainState with
 deterministic/eval-mode flags instead of re-instantiating an agent and
 re-reading the checkpoint from disk (main.py:182-187 — same math, no IO);
 phase timers and JSONL metrics are always on.
+
+Parallelism (the reference's multi-GPU driver initialises distributed mode,
+main.py:294-304, but trains unsynced replicas — SURVEY §2.2; here it is
+real): every run builds a ``parallel.setup_runtime`` mesh — parameters
+replicated, train AND eval batches sharded over the ``data`` axis, XLA's
+mean-gradient all-reduce inside the jitted step. Multi-process runs
+additionally shard the dataset per process (per-rank seeds, main.py:304),
+merge eval predictions with a pickle all-gather, and gate checkpoint/log
+writes to process 0.
 """
 
 from __future__ import annotations
@@ -49,6 +58,8 @@ from avdn_tpu.train.step import (
     _darknet_channels,
 )
 from avdn_tpu.train import checkpoints as ckpt
+from avdn_tpu.parallel import setup_runtime, merge_prediction_dicts
+from avdn_tpu.parallel.runtime import ParallelRuntime
 from avdn_tpu.utils import MetricWriter, PhaseTimer, set_random_seed, time_since
 from avdn_tpu.utils.profiling import profile_trace
 
@@ -182,6 +193,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         render_subsample=args.render_subsample,
         render_twopass=args.render_twopass,
         render_crop=args.render_crop,
+        render_bf16=args.render_bf16,
         grad_accum=args.grad_accum,
         remat=args.remat,
     )
@@ -199,36 +211,65 @@ def batcher_config(args: Args) -> BatcherConfig:
     )
 
 
-def build_dataset(args: Args):
+def build_dataset(args: Args, runtime: Optional[ParallelRuntime] = None):
     ft = args.train_val_on_full  # full-trajectory concatenation mode
+    shard, seed = None, args.seed
+    if runtime is not None and runtime.multiprocess:
+        # per-process train shard with a per-rank shuffle seed
+        # (reference main.py:304 seeds per rank; sharding is the corrected
+        # form of its unsynced replicas, SURVEY §2.2)
+        shard = (runtime.process_index, runtime.process_count)
+        seed = args.seed + runtime.process_index
     train_env = ANDHDataset(args.train_anno_dir, ["train"], args.batch_size,
-                            seed=args.seed, full_traj=ft)
+                            seed=seed, full_traj=ft, shard=shard)
     val_names = ["val_seen", "val_unseen"]
     if args.submit:
         val_names.append("test_unseen")
     val_envs = {
         name: ANDHDataset(args.val_anno_dir, [name], args.batch_size,
-                          seed=args.seed, full_traj=ft)
+                          seed=args.seed, full_traj=ft, shard=shard)
         for name in val_names
     }
     return train_env, val_envs
 
 
 def _eval_env(args, env, eval_fn, state, tokenizer, bank, bcfg,
-              rng, on_batch=None) -> Dict[str, dict]:
+              rng, runtime: Optional[ParallelRuntime] = None,
+              on_batch=None, profile_dir=None) -> Dict[str, dict]:
     """One full pass over a val env; returns preds keyed by instr_id.
     Wrap-around duplicate items overwrite by key (reference agent.test,
     agent.py:204-206). ``on_batch(out_host, meta)`` observes each batch's
-    raw rollout outputs (debug-image dumps)."""
+    raw rollout outputs (debug-image dumps).
+
+    Placement: single-process runs shard each eval batch over the runtime
+    mesh; multi-process runs evaluate each process's dataset shard *locally*
+    (the val env is already per-process) and union the prediction dicts
+    across processes afterwards. ``profile_dir`` traces the FIRST batch only
+    (a whole-validation trace is unbounded on real splits)."""
     preds: Dict[str, dict] = {}
-    for items in env:
+    local_eval = runtime is not None and runtime.multiprocess
+    if local_eval:
+        # a process-local copy of the (replicated) params: eval then runs as
+        # an independent per-process program over local devices only
+        state = jax.device_get(state)
+    for bi, items in enumerate(env):
         bank_arr, slot_of = bank.prepare(items)
         batch, meta = make_train_batch(items, tokenizer, slot_of, bcfg)
-        out = eval_fn(state, bank_arr, batch, rng)
+        if runtime is not None and not local_eval:
+            bank_arr = runtime.place_bank(bank_arr)
+            batch = runtime.shard_batch(batch)
+        if profile_dir and bi == 0:
+            with profile_trace(profile_dir):
+                out = eval_fn(state, bank_arr, batch, rng)
+                jax.block_until_ready(out)
+        else:
+            out = eval_fn(state, bank_arr, batch, rng)
         out_host = jax.device_get(out)
         preds.update(assemble_trajectories(out_host, meta))
         if on_batch is not None:
             on_batch(out_host, meta)
+    if local_eval:
+        preds = merge_prediction_dicts(preds)
     return preds
 
 
@@ -279,28 +320,36 @@ def _write_saliency_debug(args, env_name, out, meta):
 
 def run_validation(args, state, val_envs, eval_student, eval_teacher,
                    tokenizer, bank, bcfg, writer, step: int,
-                   eval_student_test=None, eval_teacher_debug=None):
+                   eval_student_test=None, eval_teacher_debug=None,
+                   runtime: Optional[ParallelRuntime] = None,
+                   profile_dir=None):
     """Student nav eval + teacher-forced HA eval over all val envs
     (main.py:188-239). Returns {env_name: avg_metrics}.
 
     With ``eval_teacher_debug`` (a collect_debug rollout) in inference mode,
     per-step saliency heatmaps are written to preds/debug_images
-    (agent.py:694-706)."""
+    (agent.py:694-706). In multi-process runs every process evaluates its
+    val shard and the merged predictions produce identical metrics on every
+    process; files (the Eval.ai npy) are written by process 0 only."""
     results = {}
+    is_main = runtime is None or runtime.is_main
     # One fixed key for every eval batch, by design: eval runs
     # deterministic=True throughout (dropout off, BERT rngs unused), and the
     # only rng consumer left is the heading-loss jitter inside the unused
     # eval losses — reusing the key keeps evaluation exactly reproducible.
     rng = jax.random.PRNGKey(args.seed)
     loss_str = f"iter {step}"
-    for env_name, env in val_envs.items():
+    for ei, (env_name, env) in enumerate(val_envs.items()):
         fn = eval_student
         if "test" in env_name and eval_student_test is not None:
             fn = eval_student_test
-        preds = _eval_env(args, env, fn, state, tokenizer, bank, bcfg, rng)
+        preds = _eval_env(args, env, fn, state, tokenizer, bank, bcfg, rng,
+                          runtime=runtime,
+                          profile_dir=profile_dir if ei == 0 else None)
         if "test_unseen" in env_name:
-            np.save("./output_test_result.npy", preds, allow_pickle=True)
-            print("inference_result on test is generated.")
+            if is_main:
+                np.save("./output_test_result.npy", preds, allow_pickle=True)
+                print("inference_result on test is generated.")
             continue
         if args.inference:
             _write_debug_images(args, env, preds, env_name)
@@ -321,7 +370,7 @@ def run_validation(args, state, val_envs, eval_student, eval_teacher,
                 _write_saliency_debug(args, _env, out, meta)
 
         preds = _eval_env(args, env, teacher_fn, state, tokenizer, bank,
-                          bcfg, rng, on_batch=on_batch)
+                          bcfg, rng, runtime=runtime, on_batch=on_batch)
         ha_avg, _ = eval_metrics(preds, human_att_eval=True)
         results[env_name + "_human_att"] = ha_avg
         loss_str += f", {env_name}_human_att " + "".join(
@@ -359,7 +408,11 @@ def _check_dataset(args: Args, splits):
 
 
 def train(args: Args):
-    set_random_seed(args.seed)
+    runtime = setup_runtime(args)
+    # per-rank host seeds (reference main.py:304 seed+rank); model init below
+    # uses PRNGKey(args.seed) explicitly, so params are identical on every
+    # process regardless
+    set_random_seed(args.seed + runtime.process_index)
     _check_dataset(args, ["train", "val_seen", "val_unseen"])
     _enable_compile_cache(args)
     args = resolve_render_crop(args)
@@ -371,16 +424,27 @@ def train(args: Args):
     bank = DeviceMapBank(
         args.train_dataset_dir, (args.map_bank_px, args.map_bank_px),
         n_slots=args.map_bank_slots,
+        sharding=None if runtime.multiprocess else runtime.replicated,
     )
-    writer = MetricWriter(args.log_dir, "train.txt")
-    with open(os.path.join(args.log_dir, "training_args.json"), "w") as f:
-        json.dump(vars(args), f, indent=4, default=str)
+    log_dir = (args.log_dir if runtime.is_main
+               else os.path.join(args.log_dir, f"proc{runtime.process_index}"))
+    writer = MetricWriter(log_dir, "train.txt")
+    writer.text(runtime.describe())
+    if runtime.is_main:
+        with open(os.path.join(args.log_dir, "training_args.json"), "w") as f:
+            json.dump(vars(args), f, indent=4, default=str)
 
-    train_env, val_envs = build_dataset(args)
+    train_env, val_envs = build_dataset(args, runtime)
     # donate the incoming state: params/opt buffers are updated in place
     # instead of doubling HBM residency across the step boundary
     train_step = jax.jit(make_train_step(cfg, bert, darknet, vln),
                          donate_argnums=0)
+    if runtime.multiprocess:
+        # AOT-compile + host barrier before first execution: keeps the
+        # per-process compile skew out of the communicator connect window
+        from avdn_tpu.parallel.runtime import CompileSynced
+
+        train_step = CompileSynced(train_step, "train_step")
     eval_student = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
                                              teacher=False))
     eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
@@ -406,10 +470,15 @@ def train(args: Args):
         start_iter = int(jax.device_get(state.step))
         writer.text(f"\nLOAD the model from {args.resume_file}, iteration {start_iter}")
 
+    # replicate params/optimizer over the data mesh (after resume so the
+    # loaded state is what gets placed); the jitted step then emits the
+    # mean-gradient all-reduce over the sharded batch
+    state = runtime.replicate(state)
+
     if args.eval_first:
         run_validation(args, state, val_envs, eval_student, eval_teacher,
                        tokenizer, bank, bcfg, writer, start_iter,
-                       eval_student_test)
+                       eval_student_test, runtime=runtime)
 
     best_val = {"val_unseen": {"spl": 0.0, "state": ""}}
     interval = max(int(train_env.size() / args.batch_size), 1) * args.log_every
@@ -418,16 +487,25 @@ def train(args: Args):
     start = time.time()
 
     def _prepare(items):
-        """Host batch assembly (bank placement + numpy batch build) — runs on
-        the prefetch thread when --prefetch is on."""
+        """Host batch assembly (bank placement + numpy batch build + mesh
+        sharding) — runs on the prefetch thread when --prefetch is on."""
         with timers("map_bank"):
             bank_arr, slot_of = bank.prepare(items)
+            if runtime.multiprocess:
+                # all processes must agree on the compiled bank shape
+                runtime.sync_bank_growth(bank)
+                bank_arr = bank.array
+            bank_arr = runtime.place_bank(bank_arr)
         with timers("batch_build"):
             batch, _ = make_train_batch(items, tokenizer, slot_of, bcfg)
+            batch = runtime.shard_batch(batch)
         return bank_arr, batch
 
     def _epoch_batches():
-        if args.prefetch:
+        # multi-process: bank-growth sync is a collective — keep it on the
+        # main thread (a prefetch thread could interleave it with the train
+        # step's collectives and deadlock)
+        if args.prefetch and not runtime.multiprocess:
             from avdn_tpu.data.prefetch import Prefetcher
             return Prefetcher(train_env, _prepare, depth=2)
         return (_prepare(items) for items in train_env)
@@ -455,18 +533,24 @@ def train(args: Args):
         writer.text(f"\nIL_loss {il_loss:.4f}")
         writer.text(f"phase timers: {timers.summary()}")
 
-        ckpt.save_checkpoint(args.ckpt_dir, f"latest_dict_{it}", state,
-                             asynchronous=args.async_ckpt)
+        # checkpoints are written by process 0 only; synchronous there —
+        # orbax's async path can barrier across jax processes, which would
+        # deadlock against processes that never call save
+        do_async = args.async_ckpt and not runtime.multiprocess
+        if runtime.is_main:
+            ckpt.save_checkpoint(args.ckpt_dir, f"latest_dict_{it}", state,
+                                 asynchronous=do_async)
         results = run_validation(args, state, val_envs, eval_student,
                                  eval_teacher, tokenizer, bank, bcfg, writer,
-                                 it, eval_student_test)
+                                 it, eval_student_test, runtime=runtime)
         if "val_unseen" in results:
             spl = results["val_unseen"].get("spl", 0.0)
             if spl >= best_val["val_unseen"]["spl"]:
                 best_val["val_unseen"]["spl"] = spl
                 best_val["val_unseen"]["state"] = f"Iter {it} spl {spl:.2f}"
-                ckpt.save_checkpoint(args.ckpt_dir, "best_val_unseen", state,
-                                     asynchronous=args.async_ckpt)
+                if runtime.is_main:
+                    ckpt.save_checkpoint(args.ckpt_dir, "best_val_unseen",
+                                         state, asynchronous=do_async)
         writer.text(
             f"{time_since(start, (it - start_iter) / args.iters)} iter {it} "
             f"BEST: {best_val['val_unseen']['state']}"
@@ -477,7 +561,8 @@ def train(args: Args):
 
 def valid(args: Args):
     """Inference mode (main.py:253-288)."""
-    set_random_seed(args.seed)
+    runtime = setup_runtime(args)
+    set_random_seed(args.seed + runtime.process_index)
     _check_dataset(args, ["val_seen", "val_unseen"])
     _enable_compile_cache(args)
     args = resolve_render_crop(args)
@@ -506,11 +591,16 @@ def valid(args: Args):
     bank = DeviceMapBank(
         args.val_dataset_dir, (args.map_bank_px, args.map_bank_px),
         n_slots=args.map_bank_slots,
+        sharding=None if runtime.multiprocess else runtime.replicated,
     )
-    writer = MetricWriter(args.log_dir, "valid.txt")
-    with open(os.path.join(args.log_dir, "validation_args.json"), "w") as f:
-        json.dump(vars(args), f, indent=4, default=str)
-    _, val_envs = build_dataset(args)
+    log_dir = (args.log_dir if runtime.is_main
+               else os.path.join(args.log_dir, f"proc{runtime.process_index}"))
+    writer = MetricWriter(log_dir, "valid.txt")
+    writer.text(runtime.describe())
+    if runtime.is_main:
+        with open(os.path.join(args.log_dir, "validation_args.json"), "w") as f:
+            json.dump(vars(args), f, indent=4, default=str)
+    _, val_envs = build_dataset(args, runtime)
     eval_student = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
                                              teacher=False))
     eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
@@ -525,9 +615,13 @@ def valid(args: Args):
                                   compute_losses=False))
         if args.submit else None
     )
-    with profile_trace(args.profile_dir or None):
-        run_validation(args, state, val_envs, eval_student, eval_teacher,
-                       tokenizer, bank, bcfg, writer,
-                       int(jax.device_get(state.step)),
-                       eval_student_test, eval_teacher_debug=eval_teacher_debug)
+    state = runtime.replicate(state)
+    run_validation(args, state, val_envs, eval_student, eval_teacher,
+                   tokenizer, bank, bcfg, writer,
+                   int(jax.device_get(state.step)),
+                   eval_student_test, eval_teacher_debug=eval_teacher_debug,
+                   runtime=runtime,
+                   # trace the first eval batch only — a whole-validation
+                   # trace is unbounded on the real 781-episode splits
+                   profile_dir=args.profile_dir or None)
     writer.close()

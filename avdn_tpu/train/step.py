@@ -72,6 +72,7 @@ class TrainConfig:
     render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
     render_twopass: bool = False  # full-res 2-pass MXU warp (PERF.md)
     render_crop: int = 512
+    render_bf16: bool = True      # bf16 two-pass einsums (False: tighter fp32)
     remat: bool = False           # rematerialise scan steps under AD
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
@@ -88,6 +89,7 @@ class TrainConfig:
             render_subsample=self.render_subsample,
             render_twopass=self.render_twopass,
             render_crop=self.render_crop,
+            render_bf16=self.render_bf16,
             remat=self.remat and train,
             **kw,
         )

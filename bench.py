@@ -34,17 +34,41 @@ TRAIN_BATCH = 4  # shipped train config (parser.py: --batch_size 4)
 TRAIN_T = 10  # shipped train config (parser.py: --max_action_len 10)
 
 
+def _fetch(o):
+    """Force completion by pulling the (scalar) result to host.
+    ``block_until_ready`` is NOT a sync point on the remote axon backend
+    (measured: it returns immediately, PERF.md "Timing methodology") — only
+    a host transfer of the value actually waits for the computation."""
+    import jax
+
+    return np.asarray(jax.device_get(o))
+
+
 def _timed(fn, args, warm_args):
     """Warm up with DIFFERENT arguments than the timed call — this backend's
     host dispatch caches identical calls (PERF.md)."""
-    import jax
-
-    o = fn(*warm_args)  # compile + warmup
-    jax.block_until_ready(o)
+    _fetch(fn(*warm_args))  # compile + warmup
     t0 = time.perf_counter()
-    o = fn(*args)
-    jax.block_until_ready(o)
+    _fetch(fn(*args))
     return time.perf_counter() - t0
+
+
+V5E_PEAK_BF16 = 1.97e14  # TPU v5e per-chip peak FLOP/s (bf16 MXU)
+
+
+def _flops_per_call(jit_fn, args):
+    """Model FLOPs of ONE compiled call from XLA's cost analysis (the loop
+    wrappers can't be used — XLA counts a while-loop body once regardless of
+    trip count). None when the backend exposes no cost model."""
+    try:
+        compiled = jit_fn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def _enable_compile_cache():
@@ -100,7 +124,13 @@ def bench_eval(twopass: bool = False):
     f = _jax.jit(many)
     dt = _timed(f, (state, bank, batch, _jax.random.PRNGKey(1)),
                 (state, bank, batch, _jax.random.PRNGKey(0)))
-    return BATCH * n_iters / dt
+    flops1 = _flops_per_call(_jax.jit(eval_fn),
+                             (state, bank, batch, _jax.random.PRNGKey(0)))
+    return {
+        "eps": BATCH * n_iters / dt,
+        "model_flops_per_sec": (flops1 * n_iters / dt) if flops1 else None,
+        "flops_per_episode": (flops1 / BATCH) if flops1 else None,
+    }
 
 
 def bench_train():
@@ -131,29 +161,45 @@ def bench_train():
     f = jax.jit(many)
     dt = _timed(f, (state, bank, batch, jax.random.PRNGKey(2)),
                 (state, bank, batch, jax.random.PRNGKey(3)))
-    return TRAIN_BATCH * n_iters / dt
+    step1 = jax.jit(step_fn)
+    flops1 = _flops_per_call(step1,
+                             (state, bank, batch, jax.random.PRNGKey(0)))
+    return {
+        "eps": TRAIN_BATCH * n_iters / dt,
+        "model_flops_per_sec": (flops1 * n_iters / dt) if flops1 else None,
+    }
+
+
+def _mfu(r):
+    f = r.get("model_flops_per_sec")
+    return round(100.0 * f / V5E_PEAK_BF16, 2) if f else None
 
 
 def main():
     _enable_compile_cache()
-    eval_eps = bench_eval()
-    eval_twopass_eps = bench_eval(twopass=True)
-    train_eps = bench_train()
-    print(
-        json.dumps(
-            {
-                # headline stays the exact-parity mode; fast modes are aux
-                "metric": "episodes_per_sec_et_eval_rollout",
-                "value": round(eval_eps, 2),
-                "unit": "episodes/s",
-                "vs_baseline": round(eval_eps / REFERENCE_EPISODES_PER_SEC, 2),
-                "eval_twopass_episodes_per_sec": round(eval_twopass_eps, 2),
-                "train_episodes_per_sec": round(train_eps, 2),
-                "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
-                "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",
-            }
-        )
-    )
+    ev = bench_eval()
+    ev2 = bench_eval(twopass=True)
+    tr = bench_train()
+    out = {
+        # headline stays the exact-parity mode; fast modes are aux
+        "metric": "episodes_per_sec_et_eval_rollout",
+        "value": round(ev["eps"], 2),
+        "unit": "episodes/s",
+        "vs_baseline": round(ev["eps"] / REFERENCE_EPISODES_PER_SEC, 2),
+        "eval_twopass_episodes_per_sec": round(ev2["eps"], 2),
+        "train_episodes_per_sec": round(tr["eps"], 2),
+        "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
+        "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",
+    }
+    # MFU: model FLOPs (XLA cost analysis of one compiled call) / wall time,
+    # as a share of the v5e bf16 MXU peak (197 TFLOP/s). The exact-parity
+    # eval computes in fp32, so its ceiling is below 100% by construction.
+    for tag, r in (("eval", ev), ("eval_twopass", ev2), ("train", tr)):
+        if r.get("model_flops_per_sec"):
+            out[f"{tag}_model_tflops_per_sec"] = round(
+                r["model_flops_per_sec"] / 1e12, 2)
+            out[f"{tag}_mfu_pct_v5e_bf16_peak"] = _mfu(r)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -152,6 +152,53 @@ class TestMaps:
             bank.prepare(items)
 
 
+class TestHostCacheLRU:
+    """The host decode cache is a bounded LRU (deviation from the
+    reference's batch-scoped eviction, src/env.py:234-240 — PARITY.md #9):
+    a map alternating between batches must decode exactly once."""
+
+    def test_alternating_batches_decode_once(self, fixture_root, monkeypatch):
+        import avdn_tpu.data.maps as maps_mod
+
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 4, seed=0)
+        img_dir = os.path.join(fixture_root, "AVDN", "train_images")
+        bank = DeviceMapBank(img_dir, (256, 256), n_slots=2)
+
+        decodes = []
+        orig = maps_mod.load_map_image
+
+        def spy(path, *a, **k):
+            decodes.append(os.path.basename(path))
+            return orig(path, *a, **k)
+
+        monkeypatch.setattr(maps_mod, "load_map_image", spy)
+        items = list(ds)[0]
+        batch_a = [it for it in items if it["map_name"] == "fixmapA"][:1]
+        batch_b = [it for it in items if it["map_name"] == "fixmapB"][:1]
+        assert batch_a and batch_b
+        for _ in range(3):  # A, B, A, B, ... — the reference re-decodes each flip
+            bank.prepare(batch_a)
+            bank.prepare(batch_b)
+        assert sorted(decodes) == ["fixmapA.tif", "fixmapB.tif"], decodes
+
+    def test_cache_is_bounded(self, fixture_root):
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        ds = ANDHDataset(anno, ["train"], 4, seed=0)
+        img_dir = os.path.join(fixture_root, "AVDN", "train_images")
+        bank = DeviceMapBank(img_dir, (256, 256), n_slots=2,
+                             host_cache_maps=1)
+        items = list(ds)[0]
+        rng = np.random.default_rng(0)
+        # feed 5 synthetic single-map batches; the LRU must stay at bound
+        for i in range(5):
+            nm = f"synth{i}"
+            bank._host_cache[nm] = rng.integers(0, 255, (64, 64, 3),
+                                                dtype=np.uint8)
+            bank.prepare([dict(items[0], map_name=nm)])
+            assert len(bank._host_cache) <= 2  # bound(=1) floored at batch maps
+
+
 class TestFullTrajectoryMode:
     """--train_val_on_full dataset concatenation (the reference designed it
     but left it commented out, src/env.py:107-168)."""

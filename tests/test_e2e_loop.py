@@ -143,6 +143,31 @@ class TestEndToEnd:
         rec = next(iter(preds.values()))
         assert "path_corners" in rec and "actions" in rec
 
+    def test_eval_batch_size_invariance(self, run_dirs, tmp_path_factory):
+        """The reference evaluates at DataLoader batch_size=1
+        (main.py:118,189,269); we evaluate at --batch_size with wrap-around
+        dedup. Benign deviation (PARITY.md #8): identical metrics at any
+        batch size."""
+        from avdn_tpu.train.loop import valid
+
+        root, _, cfg_path = run_dirs
+        metrics = {}
+        for bs in (1, 2):
+            out = str(tmp_path_factory.mktemp(f"out_bs{bs}"))
+            args = make_args(root, out, cfg_path, inference=True,
+                             batch_size=bs)
+            valid(args)
+            recs = [json.loads(l) for l in
+                    open(os.path.join(args.log_dir, "metrics.jsonl"))]
+            metrics[bs] = {k: v for r in recs for k, v in r.items()
+                           if k != "step" and isinstance(v, (int, float))}
+        assert metrics[1].keys() == metrics[2].keys() and metrics[1]
+        for k in metrics[1]:
+            np.testing.assert_allclose(
+                metrics[1][k], metrics[2][k], rtol=1e-5, atol=1e-6,
+                err_msg=f"metric {k} depends on eval batch size",
+            )
+
     def test_train_loop_lstm(self, run_dirs, tmp_path_factory):
         from avdn_tpu.train.loop import train
 
