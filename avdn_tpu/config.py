@@ -71,6 +71,7 @@ class Args:
     render_twopass: bool = False  # full-res 2-pass MXU warp (PERF.md)
     render_crop: int = 512  # 2-pass source window, >= max view edge in px
     render_bf16: bool = True  # bf16 two-pass warp einsums (fp32 for parity)
+    fold_bn_eval: bool = True  # fold BN + input norm into eval conv weights
     profile_dir: Optional[str] = None  # capture a jax profiler trace here
     grad_accum: int = 1  # micro-batch count (batch_size must divide evenly)
     remat: bool = False  # rematerialise rollout steps (fit bigger train batches)
@@ -95,7 +96,8 @@ class Args:
 _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
     "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
-    "render_twopass", "render_bf16", "async_ckpt", "prefetch", "remat",
+    "render_twopass", "render_bf16", "fold_bn_eval", "async_ckpt",
+    "prefetch", "remat",
 }
 
 _HELP = {
@@ -124,6 +126,8 @@ _HELP = {
     "render_twopass": "full-res 2-pass MXU warp, ~5-9x the exact render",
     "render_crop": "2-pass source window in px; 0 = auto-size from dataset",
     "render_bf16": "two-pass warp in bfloat16 (default); False = tighter fp32",
+    "fold_bn_eval": "fold eval-mode BatchNorm + input normalisation into the "
+                    "conv weights (inference transform; same math)",
     "profile_dir": "capture a jax profiler trace into this directory",
     "grad_accum": "micro-batch count; must divide batch_size. NOT numerically "
                   "identical to the full batch: episode-alive loss gating, BN "

@@ -265,11 +265,17 @@ class Darknet(nn.Module):
     layer's activation as (B, C, S) with spatial flattened channel-major —
     the layout downstream attention expects (the reference flattens
     (B, 512, 7, 7) → (B, 512, 49), src/xview_et/agent.py:593-594).
+
+    ``folded=True`` builds the eval-inference variant: every conv carries a
+    bias and no BatchNorm modules exist — apply it with parameters produced
+    by ``fold_darknet_params`` (running stats algebraically folded into the
+    conv weights). Same math as eval-mode BN up to float reassociation.
     """
 
     cfg: DarknetConfig
     dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.9  # torch BatchNorm2d default (momentum=0.1)
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_layers: bool = False):
@@ -279,7 +285,7 @@ class Darknet(nn.Module):
         for i, b in enumerate(blocks[1:]):
             t = b["type"]
             if t == "convolutional":
-                bn = int(b.get("batch_normalize", "0"))
+                bn = int(b.get("batch_normalize", "0")) and not self.folded
                 k = int(b["size"])
                 stride = int(b["stride"])
                 pad = (k - 1) // 2 if int(b["pad"]) else 0
@@ -330,3 +336,56 @@ class Darknet(nn.Module):
         B, H, W, C = x.shape
         # NHWC → channel-major flattened (B, C, H*W)
         return jnp.transpose(x, (0, 3, 1, 2)).reshape(B, C, H * W)
+
+
+def fold_darknet_params(cfg: DarknetConfig, params, batch_stats,
+                        input_mean=None, input_std=None, eps: float = 1e-5):
+    """Fold eval-mode BatchNorm (and optionally the input normalisation)
+    into the conv weights — the classic inference transform:
+
+        BN(conv(x)) = conv(x)·γ/√(σ²+ε) + (β − μ·γ/√(σ²+ε))
+                    = conv'(x) + b'   with   W' = W·γ/√(σ²+ε)
+
+    With ``input_std`` the first conv additionally absorbs the ``/s`` of the
+    input normalisation ``(x − m)/s`` (kernel divided by ``s`` per input
+    channel): the rollout then feeds mean-subtracted views and skips the
+    division pass. The mean subtraction itself must STAY outside — the first
+    conv zero-pads its input, and in the unfolded path that zero is the
+    *normalised* zero; folding the mean into a bias would mis-handle every
+    border tap. Scaling commutes with zero padding, so the ``/s`` fold is
+    exact. Equivalent to the reference's eval path
+    (src/models/dark_net.py:201-240 + agent.py:115-116) up to float
+    reassociation.
+
+    Returns parameters for ``Darknet(cfg, folded=True)``; O(|params|)
+    elementwise work, cheap enough to run inside the jitted eval step."""
+    if input_mean is not None:
+        raise ValueError(
+            "input_mean cannot be folded into a zero-padded conv "
+            "(border taps would shift); subtract the mean in the caller "
+            "and pass input_std only"
+        )
+    out = {}
+    first_conv = None
+    for i, b in enumerate(cfg.block_dicts()[1:]):
+        if b["type"] != "convolutional":
+            continue
+        name = f"conv_{i}"
+        if first_conv is None:
+            first_conv = name
+        kernel = params[name]["kernel"]
+        if int(b.get("batch_normalize", "0")) and f"bn_{i}" in params:
+            bn_p = params[f"bn_{i}"]
+            bn_s = batch_stats[f"bn_{i}"]
+            scale = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)   # (Cout,)
+            kernel = kernel * scale  # (k, k, Cin, Cout) · (Cout,)
+            bias = bn_p["bias"] - bn_s["mean"] * scale
+        else:
+            bias = params[name].get("bias", jnp.zeros(kernel.shape[-1],
+                                                      kernel.dtype))
+        out[name] = {"kernel": kernel, "bias": bias}
+    if input_std is not None and first_conv is not None:
+        s = jnp.asarray(input_std, jnp.float32)
+        kernel = out[first_conv]["kernel"] / s[None, None, :, None]
+        out[first_conv] = {"kernel": kernel, "bias": out[first_conv]["bias"]}
+    return out

@@ -94,6 +94,8 @@ class RolloutConfig:
     render_twopass: bool = False       # full-res 2-pass MXU warp (PERF.md)
     render_crop: int = 512             # 2-pass source window (>= max view px)
     render_bf16: bool = True           # bf16 warp einsums; False = fp32
+    fused_input_norm: bool = False     # (x−mean)/std folded into conv 1
+    # (set by the eval builder together with fold_darknet_params)
     remat: bool = False                # rematerialise the scan body under AD:
     # trades recompute for activation memory so larger train batches fit HBM
 
@@ -168,7 +170,14 @@ def rollout(
                 map_bank, batch.map_idx, quad_img, batch.circles,
                 batch.n_circles, subsample=cfg.render_subsample,
             )
-        x = (views - RGB_MEAN) / RGB_STD
+        # input normalisation — the /std is folded into the first conv when
+        # the eval tower is BN-folded (fold_darknet_params); the mean
+        # subtraction must stay here (the conv zero-pads the NORMALISED
+        # tensor, so only the scale commutes with the padding)
+        if cfg.fused_input_norm:
+            x = views - RGB_MEAN
+        else:
+            x = (views - RGB_MEAN) / RGB_STD
 
         rad = directions / 180.0 * _PI_REF
         dir_feat = jnp.stack([jnp.sin(rad), jnp.cos(rad)], axis=-1)

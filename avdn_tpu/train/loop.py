@@ -194,6 +194,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         render_twopass=args.render_twopass,
         render_crop=args.render_crop,
         render_bf16=args.render_bf16,
+        fold_bn_eval=args.fold_bn_eval,
         grad_accum=args.grad_accum,
         remat=args.remat,
     )

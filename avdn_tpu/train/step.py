@@ -73,6 +73,7 @@ class TrainConfig:
     render_twopass: bool = False  # full-res 2-pass MXU warp (PERF.md)
     render_crop: int = 512
     render_bf16: bool = True      # bf16 two-pass einsums (False: tighter fp32)
+    fold_bn_eval: bool = True     # fold BN + input norm into eval conv weights
     remat: bool = False           # rematerialise scan steps under AD
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
@@ -336,8 +337,22 @@ def make_eval_rollout(cfg: TrainConfig, bert_model, darknet_model, vln_model,
     (src/xview_et/main.py:188-239). ``collect_debug`` additionally returns
     per-step views and pred/GT saliency maps for the inference-mode
     attention debug images (agent.py:694-706).
+
+    ``cfg.fold_bn_eval`` (default): the vision tower runs as its folded
+    inference variant — eval-mode BatchNorm and the ``(x−mean)/std`` input
+    normalisation are algebraically absorbed into the conv weights each
+    call (O(|params|), done in-jit), removing the per-step normalisation
+    passes from inside the scan. Same math up to float reassociation.
     """
-    models = (darknet_model, vln_model)
+    fold = cfg.fold_bn_eval
+    if fold:
+        from avdn_tpu.models.darknet import Darknet, fold_darknet_params
+
+        folded_dk = Darknet(darknet_model.cfg, dtype=darknet_model.dtype,
+                            folded=True)
+        models = (folded_dk, vln_model)
+    else:
+        models = (darknet_model, vln_model)
 
     def eval_fn(state: TrainState, map_bank, batch: TrainBatch, rng):
         bert_out = _encode_language(
@@ -352,14 +367,25 @@ def make_eval_rollout(cfg: TrainConfig, bert_model, darknet_model, vln_model,
             compute_losses=compute_losses,
             collect_views=collect_debug,
             collect_saliency=collect_debug,
+            fused_input_norm=fold,
         )
         trainable = {
             "bert": state.bert_params,
             "darknet": state.darknet_params,
             "vln": state.vln_params,
         }
+        batch_stats = state.batch_stats
+        if fold:
+            from avdn_tpu.rollout.engine import RGB_STD
+
+            trainable = dict(trainable)
+            trainable["darknet"] = fold_darknet_params(
+                darknet_model.cfg, state.darknet_params, state.batch_stats,
+                input_std=RGB_STD,
+            )
+            batch_stats = {}
         out, _ = _run_family_rollout(
-            cfg, roll, models, bert_out, trainable, state.batch_stats, batch,
+            cfg, roll, models, bert_out, trainable, batch_stats, batch,
             map_bank, rng,
         )
         return out
