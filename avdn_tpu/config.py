@@ -75,6 +75,7 @@ class Args:
     profile_dir: Optional[str] = None  # capture a jax profiler trace here
     grad_accum: int = 1  # micro-batch count (batch_size must divide evenly)
     remat: bool = False  # rematerialise rollout steps (fit bigger train batches)
+    remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
     async_ckpt: bool = True  # background orbax writes
     prefetch: bool = True  # overlap host batch assembly with device steps
     # derived
@@ -133,6 +134,8 @@ _HELP = {
                   "identical to the full batch: episode-alive loss gating, BN "
                   "stats, and dropout draws are per-micro-batch (PERF.md)",
     "remat": "recompute rollout activations under AD (fit bigger batches)",
+    "remat_policy": "'full' (recompute all) or 'dots' (save matmul/conv "
+                    "outputs, recompute elementwise only)",
     "async_ckpt": "background orbax checkpoint writes",
     "prefetch": "overlap host batch assembly with device steps",
     "map_bank_slots": "HBM map slots (>= distinct maps per batch)",

@@ -98,6 +98,9 @@ class RolloutConfig:
     # (set by the eval builder together with fold_darknet_params)
     remat: bool = False                # rematerialise the scan body under AD:
     # trades recompute for activation memory so larger train batches fit HBM
+    remat_policy: str = "full"         # "full": recompute everything;
+    # "dots": save matmul/conv outputs, recompute only elementwise (lower
+    # recompute tax, higher residency — jax.checkpoint_policies)
 
 
 @flax.struct.dataclass
@@ -298,7 +301,12 @@ def rollout(
     )
     # prevent_cse=False: safe (and faster) under lax.scan, which already
     # provides the barrier jax.checkpoint's CSE workaround exists for
-    body_fn = jax.checkpoint(body, prevent_cse=False) if cfg.remat else body
+    if cfg.remat:
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if cfg.remat_policy == "dots" else None)
+        body_fn = jax.checkpoint(body, prevent_cse=False, policy=policy)
+    else:
+        body_fn = body
     (final_corners, final_dirs, ended, model_state, loss, _), ys = jax.lax.scan(
         body_fn, init, jnp.arange(T)
     )

@@ -197,6 +197,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         fold_bn_eval=args.fold_bn_eval,
         grad_accum=args.grad_accum,
         remat=args.remat,
+        remat_policy=args.remat_policy,
     )
 
 

@@ -75,6 +75,7 @@ class TrainConfig:
     render_bf16: bool = True      # bf16 two-pass einsums (False: tighter fp32)
     fold_bn_eval: bool = True     # fold BN + input norm into eval conv weights
     remat: bool = False           # rematerialise scan steps under AD
+    remat_policy: str = "full"    # "full" | "dots" (save matmul outputs)
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
                     **kw) -> RolloutConfig:
@@ -92,6 +93,7 @@ class TrainConfig:
             render_crop=self.render_crop,
             render_bf16=self.render_bf16,
             remat=self.remat and train,
+            remat_policy=self.remat_policy,
             **kw,
         )
 

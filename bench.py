@@ -84,7 +84,8 @@ def _enable_compile_cache():
         pass
 
 
-def bench_eval(twopass: bool = False):
+def bench_eval(twopass: bool = False, batch_size: int = BATCH,
+               bf16: bool = False):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -92,7 +93,8 @@ def bench_eval(twopass: bool = False):
     import __graft_entry__ as g
 
     world, cfg, (bert, dk, et), state, batch = g._flagship(
-        batch_size=BATCH, map_px=1024, max_action_len=EVAL_T, seed=0
+        batch_size=batch_size, map_px=1024, max_action_len=EVAL_T, seed=0,
+        bf16=bf16,
     )
     if twopass:
         cfg = dataclasses.replace(cfg, render_twopass=True, render_crop=512)
@@ -127,9 +129,9 @@ def bench_eval(twopass: bool = False):
     flops1 = _flops_per_call(_jax.jit(eval_fn),
                              (state, bank, batch, _jax.random.PRNGKey(0)))
     return {
-        "eps": BATCH * n_iters / dt,
+        "eps": batch_size * n_iters / dt,
         "model_flops_per_sec": (flops1 * n_iters / dt) if flops1 else None,
-        "flops_per_episode": (flops1 / BATCH) if flops1 else None,
+        "flops_per_episode": (flops1 / batch_size) if flops1 else None,
     }
 
 
@@ -194,6 +196,13 @@ def main():
     # MFU: model FLOPs (XLA cost analysis of one compiled call) / wall time,
     # as a share of the v5e bf16 MXU peak (197 TFLOP/s). The exact-parity
     # eval computes in fp32, so its ceiling is below 100% by construction.
+    if os.environ.get("AVDN_BENCH_SERVING") == "1":
+        # opt-in (extra cold compiles): serving point — batch 128, bf16
+        # towers, two-pass render (PERF.md "Serving scale")
+        sv = bench_eval(twopass=True, batch_size=128, bf16=True)
+        out["serving_b128_bf16_twopass_eps"] = round(sv["eps"], 2)
+        if sv.get("model_flops_per_sec"):
+            out["serving_mfu_pct_v5e_bf16_peak"] = _mfu(sv)
     for tag, r in (("eval", ev), ("eval_twopass", ev2), ("train", tr)):
         if r.get("model_flops_per_sec"):
             out[f"{tag}_model_tflops_per_sec"] = round(

@@ -133,6 +133,24 @@ class TestRemat:
         assert abs(float(m0["grad_norm_vln"]) - float(m1["grad_norm_vln"])) < 1e-3
         assert abs(float(m0["grad_norm_bert"]) - float(m1["grad_norm_bert"])) < 1e-3
 
+    def test_remat_dots_policy_matches_baseline(self):
+        """--remat_policy dots saves matmul/conv outputs and recomputes only
+        elementwise ops — still the same math as no remat."""
+        import dataclasses as dc
+
+        world, cfg, (bert, dk, vln), state, batch = build_tiny("et")
+        bank = jnp.asarray(world.map_bank)
+        r = jax.random.PRNGKey(0)
+        _, m0 = jax.jit(make_train_step(cfg, bert, dk, vln))(
+            state, bank, batch, r
+        )
+        cfg_r = dc.replace(cfg, remat=True, remat_policy="dots")
+        _, m1 = jax.jit(make_train_step(cfg_r, bert, dk, vln))(
+            state, bank, batch, r
+        )
+        assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-5
+        assert abs(float(m0["grad_norm_vln"]) - float(m1["grad_norm_vln"])) < 1e-3
+
 
 class TestGradAccum:
     def test_accum_trains_and_matches_scale(self):
