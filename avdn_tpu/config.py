@@ -37,6 +37,7 @@ class Args:
     # resume
     resume_file: Optional[str] = None
     resume_optimizer: bool = False
+    ckpt_keep: int = 0  # keep newest N latest_dict_* ckpts (0 = keep all)
     # xview
     nss_w: float = 1.0
     nss_r: int = 0
@@ -112,8 +113,11 @@ _HELP = {
     "inference": "evaluation-only mode (writes valid.txt + debug images)",
     "max_instr_len": "instruction token pad (static shape)",
     "max_action_len": "episode horizon (reference: 10 train / 5 eval)",
-    "resume_file": "checkpoint dir (ours) or released torch .pt to load",
+    "resume_file": "checkpoint dir (ours), released torch .pt, or 'latest' "
+                   "to auto-resume from the newest latest_dict_* in ckpt_dir",
     "resume_optimizer": "also restore optimizer state on resume",
+    "ckpt_keep": "retain only the newest N latest_dict_* checkpoints "
+                 "(0 = keep all, like the reference; best_val_unseen kept)",
     "nss_w": "saliency NSS loss weight (student phase)",
     "darknet_model_file": "darknet .cfg (default: generated darknet-53 tower)",
     "darknet_weight_file": "YOLO pretrain best.pt to import",

@@ -394,6 +394,41 @@ def _enable_compile_cache(args: Args):
         pass
 
 
+def _find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest ``latest_dict_{iter}`` by iteration number, or None."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("latest_dict_"):
+            try:
+                n = int(name[len("latest_dict_"):])
+            except ValueError:
+                continue
+            if best is None or n > best[0]:
+                best = (n, name)
+    return os.path.join(ckpt_dir, best[1]) if best else None
+
+
+def _prune_checkpoints(ckpt_dir: str, keep: int):
+    """Keep the ``keep`` newest ``latest_dict_*`` checkpoints (0 = keep all,
+    the reference's behaviour — it never deletes). ``best_val_unseen`` is
+    never pruned."""
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    import shutil
+
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("latest_dict_"):
+            try:
+                entries.append((int(name[len("latest_dict_"):]), name))
+            except ValueError:
+                continue
+    for _, name in sorted(entries)[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, name), ignore_errors=True)
+
+
 def _check_dataset(args: Args, splits):
     """Fail fast (before the expensive model init) when the dataset is
     missing, with a message that names the flag to fix."""
@@ -458,6 +493,11 @@ def train(args: Args):
     )
 
     start_iter = 0
+    if args.resume_file == "latest":
+        # production auto-resume: newest latest_dict_* in this run's ckpt
+        # dir, or a fresh start when none exists (restart-safe launcher)
+        args.resume_file = _find_latest_checkpoint(args.ckpt_dir)
+        writer.text(f"auto-resume: {args.resume_file or 'no checkpoint, fresh start'}")
     if args.resume_file:
         ckpt.wait_for_saves()  # the file may be an in-flight async write
         fresh = state
@@ -487,6 +527,7 @@ def train(args: Args):
     timers = PhaseTimer()
     rng = jax.random.PRNGKey(args.seed + 1)
     start = time.time()
+    interval_t0 = time.time()
 
     def _prepare(items):
         """Host batch assembly (bank placement + numpy batch build + mesh
@@ -531,8 +572,15 @@ def train(args: Args):
                 losses.append(metrics["loss"])
                 n_steps += 1
         il_loss = float(np.mean([jax.device_get(l) for l in losses]))
-        writer.scalars(it, {"loss/IL_loss": il_loss})
-        writer.text(f"\nIL_loss {il_loss:.4f}")
+        # interval throughput: global episodes per wall-second (all phases,
+        # incl. host assembly; the phase-timer line splits it out)
+        dt_interval = time.time() - interval_t0
+        eps = len(losses) * args.batch_size * runtime.process_count / max(
+            dt_interval, 1e-9)
+        interval_t0 = time.time()
+        writer.scalars(it, {"loss/IL_loss": il_loss,
+                            "throughput/train_eps": eps})
+        writer.text(f"\nIL_loss {il_loss:.4f}  ({eps:.1f} episodes/s)")
         writer.text(f"phase timers: {timers.summary()}")
 
         # checkpoints are written by process 0 only; synchronous there —
@@ -542,6 +590,9 @@ def train(args: Args):
         if runtime.is_main:
             ckpt.save_checkpoint(args.ckpt_dir, f"latest_dict_{it}", state,
                                  asynchronous=do_async)
+            if args.ckpt_keep > 0:
+                ckpt.wait_for_saves()  # never prune an in-flight write
+                _prune_checkpoints(args.ckpt_dir, args.ckpt_keep)
         results = run_validation(args, state, val_envs, eval_student,
                                  eval_teacher, tokenizer, bank, bcfg, writer,
                                  it, eval_student_test, runtime=runtime)

@@ -178,6 +178,45 @@ class TestEndToEnd:
         assert any(n.startswith("latest_dict_")
                    for n in os.listdir(args.ckpt_dir))
 
+    def test_auto_resume_and_ckpt_pruning(self, run_dirs, tmp_path_factory):
+        """--resume_file latest picks the newest latest_dict_*; --ckpt_keep
+        bounds the retained checkpoints (best_val_unseen never pruned);
+        metrics.jsonl carries the train throughput."""
+        from avdn_tpu.train.loop import train, _find_latest_checkpoint
+
+        root, _, cfg_path = run_dirs
+        out = str(tmp_path_factory.mktemp("out_resume"))
+        args = make_args(root, out, cfg_path, iters=2, log_every=1,
+                         ckpt_keep=1)
+        train(args)
+        names = sorted(os.listdir(args.ckpt_dir))
+        latest = [n for n in names if n.startswith("latest_dict_")]
+        assert len(latest) == 1, names  # pruned to the newest
+        assert "best_val_unseen" in names
+        newest = _find_latest_checkpoint(args.ckpt_dir)
+        assert newest is not None and newest.endswith(latest[0])
+        # auto-resume continues from the saved iteration
+        args2 = make_args(root, out, cfg_path, iters=1, log_every=1,
+                          ckpt_keep=1, resume_file="latest")
+        train(args2)
+        resumed = [n for n in os.listdir(args.ckpt_dir)
+                   if n.startswith("latest_dict_")]
+        assert max(int(n.split("_")[-1]) for n in resumed) > \
+            int(latest[0].split("_")[-1])
+        recs = [json.loads(l) for l in
+                open(os.path.join(args.log_dir, "metrics.jsonl"))]
+        assert any("throughput/train_eps" in r for r in recs)
+
+    def test_auto_resume_fresh_start_when_empty(self, run_dirs,
+                                                tmp_path_factory):
+        """--resume_file latest with no checkpoint yet = fresh start (the
+        restart-safe launcher contract)."""
+        from avdn_tpu.train.loop import _find_latest_checkpoint
+
+        assert _find_latest_checkpoint("/nonexistent/dir") is None
+        empty = str(tmp_path_factory.mktemp("empty_ckpts"))
+        assert _find_latest_checkpoint(empty) is None
+
     def test_train_loop_fast_modes(self, run_dirs, tmp_path_factory):
         """The production-speed combo through the full driver:
         --render_twopass (auto crop) + --remat + --grad_accum."""
