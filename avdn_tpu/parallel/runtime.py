@@ -169,6 +169,37 @@ class ParallelRuntime:
         all_hw = np.asarray(_synced_allgather(hw))
         bank.grow_to(int(all_hw[:, 0].max()), int(all_hw[:, 1].max()))
 
+    def assert_replicas_identical(self, tree, what: str = "state") -> None:
+        """Multi-process failure detection: verify every process placed the
+        same replicated values (model init is seeded identically and
+        checkpoints are assumed on a shared filesystem — a divergent resume,
+        e.g. a node-local ckpt_dir, would otherwise train silently split).
+        Compares per-leaf float64 sum fingerprints across processes."""
+        if not self.multiprocess:
+            return
+        import jax
+
+        from avdn_tpu.parallel.collectives import _synced_allgather
+
+        leaves = jax.tree_util.tree_leaves(tree)
+        fp = np.asarray(
+            [np.sum(np.asarray(jax.device_get(l), np.float64))
+             for l in leaves], np.float64,
+        )
+        rows = np.asarray(_synced_allgather(fp))
+        for p in range(1, rows.shape[0]):
+            if not np.allclose(rows[0], rows[p], rtol=1e-12, atol=0.0,
+                               equal_nan=True):
+                bad = int(np.argmax(~np.isclose(rows[0], rows[p],
+                                                rtol=1e-12, atol=0.0,
+                                                equal_nan=True)))
+                raise RuntimeError(
+                    f"replicated {what} differs between process 0 and "
+                    f"process {p} (leaf {bad}: {rows[0][bad]} vs "
+                    f"{rows[p][bad]}) — all processes must resume from the "
+                    "same checkpoint (shared filesystem) and share seeds"
+                )
+
     def describe(self) -> str:
         return (
             f"data parallel: {self.n_dp} device(s) on axis 'data' "

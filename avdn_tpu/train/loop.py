@@ -516,6 +516,9 @@ def train(args: Args):
     # loaded state is what gets placed); the jitted step then emits the
     # mean-gradient all-reduce over the sharded batch
     state = runtime.replicate(state)
+    # failure detection: a divergent resume (e.g. node-local ckpt_dir on a
+    # pod) would otherwise train silently split replicas
+    runtime.assert_replicas_identical(state)
 
     if args.eval_first:
         run_validation(args, state, val_envs, eval_student, eval_teacher,
@@ -669,6 +672,7 @@ def valid(args: Args):
         if args.submit else None
     )
     state = runtime.replicate(state)
+    runtime.assert_replicas_identical(state)
     run_validation(args, state, val_envs, eval_student, eval_teacher,
                    tokenizer, bank, bcfg, writer,
                    int(jax.device_get(state.step)),

@@ -85,7 +85,7 @@ def _enable_compile_cache():
 
 
 def bench_eval(twopass: bool = False, batch_size: int = BATCH,
-               bf16: bool = False):
+               bf16: bool = False, crop: int = 512):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -97,7 +97,7 @@ def bench_eval(twopass: bool = False, batch_size: int = BATCH,
         bf16=bf16,
     )
     if twopass:
-        cfg = dataclasses.replace(cfg, render_twopass=True, render_crop=512)
+        cfg = dataclasses.replace(cfg, render_twopass=True, render_crop=crop)
     eval_fn = make_eval_rollout(cfg, bert, dk, et, teacher=False)
     bank = jnp.asarray(world.map_bank)
     n_iters = 10
@@ -199,8 +199,11 @@ def main():
     if os.environ.get("AVDN_BENCH_SERVING") == "1":
         # opt-in (extra cold compiles): serving point — batch 128, bf16
         # towers, two-pass render (PERF.md "Serving scale")
-        sv = bench_eval(twopass=True, batch_size=128, bf16=True)
-        out["serving_b128_bf16_twopass_eps"] = round(sv["eps"], 2)
+        # crop 256: the serving point for coarse-lat_ratio maps (PERF.md
+        # "serving scale" table; crop is dataset-dependent — auto-crop sizes
+        # it from the annotations in production)
+        sv = bench_eval(twopass=True, batch_size=128, bf16=True, crop=256)
+        out["serving_b128_bf16_twopass_crop256_eps"] = round(sv["eps"], 2)
         if sv.get("model_flops_per_sec"):
             out["serving_mfu_pct_v5e_bf16_peak"] = _mfu(sv)
     for tag, r in (("eval", ev), ("eval_twopass", ev2), ("train", tr)):

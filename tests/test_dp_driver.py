@@ -93,6 +93,31 @@ class TestSetupRuntime:
         assert rt.n_dp == 2
 
 
+class TestCompileSynced:
+    def test_caches_by_shape_and_recompiles_on_change(self):
+        """The AOT wrapper must execute correctly, reuse the compiled
+        program for repeated shapes, and compile a second program for a new
+        shape (bank auto-grow changes shapes mid-run)."""
+        import jax.numpy as jnp
+        from avdn_tpu.parallel.runtime import CompileSynced
+
+        calls = {"n": 0}
+
+        def f(x):
+            calls["n"] += 1  # traced once per compile
+            return x * 2.0 + 1.0
+
+        w = CompileSynced(jax.jit(f), "t")
+        a = jnp.arange(4.0)
+        np.testing.assert_allclose(np.asarray(w(a)), np.asarray(a) * 2 + 1)
+        np.testing.assert_allclose(np.asarray(w(a + 1)),
+                                   (np.asarray(a) + 1) * 2 + 1)
+        assert calls["n"] == 1 and len(w._compiled) == 1
+        b = jnp.arange(8.0)
+        np.testing.assert_allclose(np.asarray(w(b)), np.asarray(b) * 2 + 1)
+        assert calls["n"] == 2 and len(w._compiled) == 2
+
+
 class TestDriverSharding:
     def test_train_shards_batches_across_all_devices(self, run_dirs,
                                                      tmp_path_factory,

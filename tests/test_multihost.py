@@ -160,10 +160,13 @@ def test_two_process_train_driver(tmp_path):
     def metrics_of(log_dir):
         recs = [json.loads(l) for l in
                 open(os.path.join(log_dir, "metrics.jsonl"))]
+        # loss and throughput are per-process (wall-clock / local shard);
+        # the MODEL metrics must be identical (merged predictions)
         return {f"{r.get('step')}/{k}": v for r in recs
                 for k, v in r.items()
                 if k != "step" and isinstance(v, (int, float))
-                and k != "loss/IL_loss"}
+                and k != "loss/IL_loss"
+                and not k.startswith("throughput/")}
 
     m0 = metrics_of(os.path.join(out, "logs"))
     m1 = metrics_of(os.path.join(out, "logs", "proc1"))

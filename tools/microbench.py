@@ -1,0 +1,148 @@
+"""Component microbenchmarks — per-piece timing for the PERF.md attribution
+table (render / vision tower / language tower / VLN trunk), on the real TPU.
+
+Same methodology as bench.py: repetition loop inside jit, per-iteration
+input perturbation (hoist-proof), completion forced by a host fetch of the
+scalar result (block_until_ready is not a sync point on this backend).
+
+Usage: python tools/microbench.py [--batch 16] [--iters 20]
+Prints one JSON line with per-component ms per call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _timed_loop(fn_body, example, n_iters):
+    """Time `n_iters` executions of fn_body(x) chained through a scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    def many(x, seed):
+        def body(i, acc):
+            k = jax.random.fold_in(seed, i)
+            noise = 1e-9 * jax.random.normal(k, x.shape, x.dtype) \
+                if jnp.issubdtype(x.dtype, jnp.floating) else 0
+            return acc + fn_body(x + noise)
+
+        return jax.lax.fori_loop(0, n_iters, body, 0.0)
+
+    f = jax.jit(many)
+    o = f(example, jax.random.PRNGKey(0))
+    np.asarray(jax.device_get(o))  # warm + force
+    t0 = time.perf_counter()
+    o = f(example, jax.random.PRNGKey(1))
+    np.asarray(jax.device_get(o))
+    return (time.perf_counter() - t0) / n_iters * 1e3  # ms/call
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--bf16", action="store_true")
+    ns = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from avdn_tpu.sim.render import render_batch, view_to_map_coords
+    from avdn_tpu.sim.warp2pass import render_batch_twopass
+    from avdn_tpu.models.darknet import fold_darknet_params
+    from avdn_tpu.rollout.engine import RGB_STD
+
+    B = ns.batch
+    world, cfg, (bert, dk, et), state, batch = g._flagship(
+        batch_size=B, map_px=1024, max_action_len=5, seed=0, bf16=ns.bf16,
+    )
+    bank = jnp.asarray(world.map_bank)
+    ep = batch.episode
+    quad = jnp.asarray(
+        np.tile(np.array([[300., 400.], [300., 300.], [400., 300.],
+                          [400., 400.]], np.float32), (B, 1, 1)))
+    out = {}
+
+    # exact 4-tap gather render
+    def exact(q):
+        v, s = render_batch(bank, ep.map_idx, q, ep.circles, ep.n_circles)
+        return jnp.sum(v) + jnp.sum(s)
+
+    out["render_exact_ms"] = _timed_loop(exact, quad, ns.iters)
+
+    # two-pass MXU render
+    def twopass(q):
+        v, s = render_batch_twopass(bank, ep.map_idx, q, ep.circles,
+                                    ep.n_circles, crop_hw=512)
+        return jnp.sum(v) + jnp.sum(s)
+
+    out["render_twopass_ms"] = _timed_loop(twopass, quad, ns.iters)
+
+    # vision tower (eval mode, unfolded and folded)
+    x_img = jnp.asarray(np.random.default_rng(0).uniform(
+        -2, 2, (B, 224, 224, 3)).astype(np.float32))
+
+    def dk_eval(x):
+        vs = {"params": state.darknet_params}
+        if state.batch_stats:
+            vs["batch_stats"] = state.batch_stats
+        return jnp.sum(dk.apply(vs, x, train=False))
+
+    out["darknet_eval_ms"] = _timed_loop(dk_eval, x_img, ns.iters)
+
+    from avdn_tpu.models.darknet import Darknet
+    dkf = Darknet(dk.cfg, dtype=dk.dtype, folded=True)
+    fp = fold_darknet_params(dk.cfg, state.darknet_params, state.batch_stats,
+                             input_std=RGB_STD)
+    fp = jax.device_get(fp)
+
+    def dk_folded(x):
+        return jnp.sum(dkf.apply({"params": jax.tree_util.tree_map(
+            jnp.asarray, fp)}, x, train=False))
+
+    out["darknet_folded_ms"] = _timed_loop(dk_folded, x_img, ns.iters)
+
+    # language tower (both passes)
+    ids = batch.ids_instr
+
+    def bert2(i):
+        f1, c1, _ = bert.apply({"params": state.bert_params}, i,
+                               batch.mask_instr, deterministic=True)
+        _, c2, _ = bert.apply({"params": state.bert_params}, batch.ids_dialog,
+                              batch.mask_dialog, deterministic=True)
+        return jnp.sum(f1) + jnp.sum(c1) + jnp.sum(c2)
+
+    out["bert_x2_ms"] = _timed_loop(bert2, ids, ns.iters)
+
+    # VLN trunk (ET) at full padded history
+    from avdn_tpu.train.step import _darknet_channels
+    ch = _darknet_channels(dk)
+    frames = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, (B, 5, ch, 49)).astype(np.float32))
+
+    def et_fwd(fr):
+        a, s = et.apply(
+            {"params": state.vln_params}, ep.lang_feat, ep.lang_cls, fr,
+            jnp.zeros((B, 5, 2)), jnp.full((B,), 5, jnp.int32),
+            deterministic=True,
+        )
+        return jnp.sum(a) + jnp.sum(s)
+
+    out["et_trunk_ms"] = _timed_loop(et_fwd, frames, ns.iters)
+
+    out = {k: round(v, 3) for k, v in out.items()}
+    out["batch"] = B
+    out["bf16"] = ns.bf16
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
