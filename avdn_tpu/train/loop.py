@@ -254,19 +254,33 @@ def _eval_env(args, env, eval_fn, state, tokenizer, bank, bcfg,
         # a process-local copy of the (replicated) params: eval then runs as
         # an independent per-process program over local devices only
         state = jax.device_get(state)
-    for bi, items in enumerate(env):
+
+    def _prepare(items):
+        """Host batch assembly — prefetched so GeoTIFF decode/tokenisation
+        overlaps the device rollouts (the train loop does the same)."""
         bank_arr, slot_of = bank.prepare(items)
         batch, meta = make_train_batch(items, tokenizer, slot_of, bcfg)
         if runtime is not None and not local_eval:
             bank_arr = runtime.place_bank(bank_arr)
             batch = runtime.shard_batch(batch)
+        return bank_arr, batch, meta
+
+    if getattr(args, "prefetch", False):
+        from avdn_tpu.data.prefetch import Prefetcher
+
+        batches = Prefetcher(env, _prepare, depth=2)
+    else:
+        batches = (_prepare(items) for items in env)
+    for bi, (bank_arr, batch, meta) in enumerate(batches):
         if profile_dir and bi == 0:
             with profile_trace(profile_dir):
                 out = eval_fn(state, bank_arr, batch, rng)
-                jax.block_until_ready(out)
+                # device_get, not block_until_ready: the latter is not a
+                # sync point on the remote backend (PERF.md methodology)
+                out_host = jax.device_get(out)
         else:
             out = eval_fn(state, bank_arr, batch, rng)
-        out_host = jax.device_get(out)
+            out_host = jax.device_get(out)
         preds.update(assemble_trajectories(out_host, meta))
         if on_batch is not None:
             on_batch(out_host, meta)
@@ -565,10 +579,12 @@ def train(args: Args):
                 with timers("train_step"):
                     rng, r = jax.random.split(rng)
                     if args.profile_dir and n_steps == 1:
-                        # trace the second step — the first one compiles
+                        # trace the second step — the first one compiles;
+                        # device_get forces completion inside the trace
+                        # (block_until_ready is not a sync point here)
                         with profile_trace(args.profile_dir):
                             state, metrics = train_step(state, bank_arr, batch, r)
-                            jax.block_until_ready(metrics["loss"])
+                            jax.device_get(metrics["loss"])
                         writer.text(f"profiler trace written to {args.profile_dir}")
                     else:
                         state, metrics = train_step(state, bank_arr, batch, r)
