@@ -1,0 +1,148 @@
+"""Production batch-inference API.
+
+The reference has no serving surface — running its agent requires the full
+training harness (env + agent + DataLoader, src/xview_et/main.py:253-288).
+Here inference is one object: load a checkpoint once (ours or a released
+torch ``best_val_unseen``), then map ANDH-format annotation items to
+predicted trajectories with a compiled student-forced rollout
+(``compute_losses=False`` — no ground truth required). Batches pad to a
+fixed serving batch size so one compiled program handles any request size.
+
+    nav = Navigator.from_args(args)          # or Navigator(args)
+    preds = nav.navigate(items)              # {instr_id: {path_corners, actions, progress}}
+
+Fast modes (``--render_twopass``, ``--bf16``, folding) apply exactly as in
+the eval driver; the map bank persists across calls so repeated requests on
+the same tiles skip the GeoTIFF decode.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from avdn_tpu.config import Args, postprocess_args
+
+
+class Navigator:
+    """Compiled closed-loop navigation for serving.
+
+    ``serve_batch`` fixes the compiled batch size: shorter item lists are
+    padded (padding items are dropped from the returned predictions), longer
+    lists are chunked.
+    """
+
+    def __init__(self, args: Args, serve_batch: Optional[int] = None):
+        import jax
+        import jax.numpy as jnp
+
+        from avdn_tpu.data.batcher import make_train_batch  # noqa: F401
+        from avdn_tpu.data.maps import DeviceMapBank
+        from avdn_tpu.data.tokenizer import WordPieceTokenizer
+        from avdn_tpu.parallel import setup_runtime
+        from avdn_tpu.train import checkpoints as ckpt
+        from avdn_tpu.train.loop import (
+            batcher_config,
+            build_models,
+            init_state,
+            resolve_render_crop,
+            train_config_from_args,
+        )
+        from avdn_tpu.train.step import make_eval_rollout
+
+        self.args = args
+        self.serve_batch = serve_batch or args.batch_size
+        self.runtime = setup_runtime(args, batch_size=self.serve_batch)
+        args = resolve_render_crop(args)
+        self.cfg = train_config_from_args(args)
+        bert, darknet, vln = build_models(args)
+        state = init_state(args, bert, darknet, vln, self.cfg,
+                           jax.random.PRNGKey(args.seed))
+        if args.resume_file:
+            if os.path.isdir(args.resume_file):
+                ckpt.wait_for_saves()
+                state = ckpt.load_checkpoint(args.resume_file, state)
+            else:  # released torch checkpoint
+                bert_v, dk_v, vln_v, _ = ckpt.import_reference_agent(
+                    args.resume_file, args.family, darknet.cfg.block_dicts(),
+                    et_layers=args.encoder_layers,
+                )
+                state = state.replace(
+                    bert_params=bert_v["params"],
+                    darknet_params=dk_v["params"],
+                    batch_stats=dk_v.get("batch_stats", {}),
+                    vln_params=vln_v["params"],
+                )
+        self.state = self.runtime.replicate(state)
+        self.tokenizer = WordPieceTokenizer.load(args.bert_vocab_file)
+        self.bcfg = batcher_config(args)
+        self.bank = DeviceMapBank(
+            args.val_dataset_dir, (args.map_bank_px, args.map_bank_px),
+            n_slots=args.map_bank_slots,
+            sharding=None if self.runtime.multiprocess
+            else self.runtime.replicated,
+        )
+        self._rollout = jax.jit(make_eval_rollout(
+            self.cfg, bert, darknet, vln, teacher=False,
+            compute_losses=False,
+        ))
+        self._rng = jax.random.PRNGKey(args.seed)
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None,
+                  family: str = "et", **kw) -> "Navigator":
+        from avdn_tpu.config import parse_args
+
+        return cls(parse_args(argv, family=family), **kw)
+
+    @staticmethod
+    def _normalize_item(item: dict) -> dict:
+        """Accept raw ANDH items; fill the GT-only fields serving doesn't
+        need (losses are off) so the batcher's static shapes hold."""
+        it = dict(item)
+        it.setdefault("route_index", "0_1")
+        it["angle"] = round(float(it["angle"])) % 360
+        it["instructions"] = str(it["instructions"]).lower()
+        pd = it.get("pre_dialogs", "")
+        it["pre_dialogs"] = (" ".join(pd) if isinstance(pd, list)
+                             else str(pd)).lower()
+        start = np.asarray(it["gt_path_corners"][0]
+                           if it.get("gt_path_corners")
+                           else it["start_corners"], np.float64)
+        it["gt_path_corners"] = [np.asarray(c, np.float64)
+                                 for c in it.get("gt_path_corners", [start])]
+        it.setdefault("attention_list", [])
+        return it
+
+    def navigate(self, items: List[dict]) -> Dict[str, dict]:
+        """Predicted trajectories for ANDH items, keyed by instr_id. Each
+        record: ``path_corners`` [(corners (4,2) gps-offset, heading°), …],
+        ``actions`` [[waypoint_ratio (2,), altitude], …], ``progress``."""
+        import jax
+
+        from avdn_tpu.data.batcher import make_train_batch
+        from avdn_tpu.metrics import assemble_trajectories
+
+        items = [self._normalize_item(it) for it in items]
+        preds: Dict[str, dict] = {}
+        state = self.state
+        if self.runtime.multiprocess:
+            # serving is per-process: use a local copy (mirrors _eval_env)
+            state = jax.device_get(state)
+        B = self.serve_batch
+        for lo in range(0, len(items), B):
+            chunk = items[lo : lo + B]
+            while len(chunk) < B:  # pad; dropped via meta["valid"]
+                chunk = chunk + [dict(chunk[0], _pad=True)]
+            bank_arr, slot_of = self.bank.prepare(chunk)
+            batch, meta = make_train_batch(chunk, self.tokenizer, slot_of,
+                                           self.bcfg)
+            if not self.runtime.multiprocess:
+                bank_arr = self.runtime.place_bank(bank_arr)
+                batch = self.runtime.shard_batch(batch)
+            out = jax.device_get(
+                self._rollout(state, bank_arr, batch, self._rng))
+            preds.update(assemble_trajectories(out, meta))
+        return preds

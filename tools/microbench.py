@@ -77,6 +77,7 @@ def main(argv=None):
         return jnp.sum(v) + jnp.sum(s)
 
     out["render_exact_ms"] = _timed_loop(exact, quad, ns.iters)
+    print(f"render_exact_ms={out['render_exact_ms']:.3f}", file=sys.stderr, flush=True)
 
     # two-pass MXU render
     def twopass(q):
@@ -85,6 +86,7 @@ def main(argv=None):
         return jnp.sum(v) + jnp.sum(s)
 
     out["render_twopass_ms"] = _timed_loop(twopass, quad, ns.iters)
+    print(f"render_twopass_ms={out['render_twopass_ms']:.3f}", file=sys.stderr, flush=True)
 
     # vision tower (eval mode, unfolded and folded)
     x_img = jnp.asarray(np.random.default_rng(0).uniform(
@@ -97,6 +99,7 @@ def main(argv=None):
         return jnp.sum(dk.apply(vs, x, train=False))
 
     out["darknet_eval_ms"] = _timed_loop(dk_eval, x_img, ns.iters)
+    print(f"darknet_eval_ms={out['darknet_eval_ms']:.3f}", file=sys.stderr, flush=True)
 
     from avdn_tpu.models.darknet import Darknet
     dkf = Darknet(dk.cfg, dtype=dk.dtype, folded=True)
@@ -109,6 +112,7 @@ def main(argv=None):
             jnp.asarray, fp)}, x, train=False))
 
     out["darknet_folded_ms"] = _timed_loop(dk_folded, x_img, ns.iters)
+    print(f"darknet_folded_ms={out['darknet_folded_ms']:.3f}", file=sys.stderr, flush=True)
 
     # language tower (both passes)
     ids = batch.ids_instr
@@ -121,6 +125,7 @@ def main(argv=None):
         return jnp.sum(f1) + jnp.sum(c1) + jnp.sum(c2)
 
     out["bert_x2_ms"] = _timed_loop(bert2, ids, ns.iters)
+    print(f"bert_x2_ms={out['bert_x2_ms']:.3f}", file=sys.stderr, flush=True)
 
     # VLN trunk (ET) at full padded history
     from avdn_tpu.train.step import _darknet_channels
