@@ -79,6 +79,7 @@ class Args:
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
     async_ckpt: bool = True  # background orbax writes
     prefetch: bool = True  # overlap host batch assembly with device steps
+    preempt_save: bool = True  # SIGTERM: checkpoint + clean exit (preemption)
     # derived
     train_dataset_dir: str = ""
     val_dataset_dir: str = ""
@@ -99,7 +100,7 @@ _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
     "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
     "render_twopass", "render_bf16", "fold_bn_eval", "async_ckpt",
-    "prefetch", "remat",
+    "prefetch", "remat", "preempt_save",
 }
 
 _HELP = {
@@ -142,6 +143,8 @@ _HELP = {
                     "outputs, recompute elementwise only)",
     "async_ckpt": "background orbax checkpoint writes",
     "prefetch": "overlap host batch assembly with device steps",
+    "preempt_save": "on SIGTERM save latest_dict_{step} and exit cleanly "
+                    "(resume with --resume_file latest); default on",
     "map_bank_slots": "HBM map slots (>= distinct maps per batch)",
     "map_bank_px": "map slot edge in px (auto-grows for larger tiles)",
     "dialog_pad": "dialog-history token pad for BERT pass 2",

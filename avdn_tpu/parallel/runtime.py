@@ -200,6 +200,19 @@ class ParallelRuntime:
                     "same checkpoint (shared filesystem) and share seeds"
                 )
 
+    def any_flag(self, flag: bool) -> bool:
+        """Cross-process OR of a host-side boolean (identity when single
+        process). Every process must call this at the same point — it is a
+        collective. Used for per-step consensus decisions (e.g. "someone
+        received SIGTERM"), so replicas always break out of the step loop
+        together instead of abandoning each other mid-collective."""
+        if not self.multiprocess:
+            return flag
+        from avdn_tpu.parallel.collectives import _synced_allgather
+
+        rows = np.asarray(_synced_allgather(np.asarray([int(flag)], np.int64)))
+        return bool(rows.max())
+
     def describe(self) -> str:
         return (
             f"data parallel: {self.n_dp} device(s) on axis 'data' "

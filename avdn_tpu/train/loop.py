@@ -570,7 +570,16 @@ def train(args: Args):
             return Prefetcher(train_env, _prepare, depth=2)
         return (_prepare(items) for items in train_env)
 
+    # preemption: SIGTERM → flag → consensus save + clean exit (the grace
+    # window is short; auto-resume picks the saved step back up)
+    guard = None
+    if getattr(args, "preempt_save", True):
+        from avdn_tpu.utils.preemption import PreemptionGuard
+
+        guard = PreemptionGuard().install()
+
     n_steps = 0
+    preempted = False
     for idx in range(start_iter, start_iter + args.iters, interval):
         it = idx + interval
         losses = []
@@ -590,6 +599,24 @@ def train(args: Args):
                         state, metrics = train_step(state, bank_arr, batch, r)
                 losses.append(metrics["loss"])
                 n_steps += 1
+                # consensus per step (collective in multiprocess mode):
+                # every replica must agree to stop at the same step
+                if guard is not None and runtime.any_flag(guard.triggered):
+                    preempted = True
+                    break
+            if preempted:
+                break
+        if preempted:
+            step_now = int(jax.device_get(state.step))
+            if runtime.is_main:
+                ckpt.save_checkpoint(args.ckpt_dir, f"latest_dict_{step_now}",
+                                     state, asynchronous=False)
+            ckpt.wait_for_saves()
+            writer.text(
+                f"\npreemption signal — saved latest_dict_{step_now}, "
+                "exiting cleanly (relaunch with --resume_file latest)"
+            )
+            break
         il_loss = float(np.mean([jax.device_get(l) for l in losses]))
         # interval throughput: global episodes per wall-second (all phases,
         # incl. host assembly; the phase-timer line splits it out)
@@ -627,6 +654,8 @@ def train(args: Args):
             f"{time_since(start, (it - start_iter) / args.iters)} iter {it} "
             f"BEST: {best_val['val_unseen']['state']}"
         )
+    if guard is not None:
+        guard.uninstall()
     ckpt.wait_for_saves()
     writer.close()
 

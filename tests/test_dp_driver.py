@@ -37,7 +37,10 @@ def _read_metrics(log_dir):
         rec = json.loads(l)
         step = rec.get("step")
         for k, v in rec.items():
-            if k != "step" and isinstance(v, (int, float)):
+            # wall-clock metrics (throughput/…) legitimately differ between
+            # runs — only semantic metrics participate in equivalence checks
+            if (k != "step" and isinstance(v, (int, float))
+                    and not k.startswith("throughput/")):
                 merged[f"{step}/{k}"] = float(v)
     return merged
 
