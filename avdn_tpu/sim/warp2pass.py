@@ -158,9 +158,115 @@ def _warp_item(map_bank, idx, quad_xy, crop_hw: int, out_hw: int,
     return out.reshape(out_hw, out_hw, 3).astype(jnp.float32)
 
 
+def _largest_divisor(n: int, cap: int) -> int:
+    return max(d for d in range(1, cap + 1) if n % d == 0)
+
+
+def _warp_item_banded(map_bank, idx, quad_xy, crop_hw: int, out_hw: int,
+                      chunk_a: int, compute_dtype):
+    """Banded two-pass warp of one item — same math as ``_warp_item``, but
+    each pass runs on (output-tile × source-band) blocks instead of dense
+    (output-chunk × full-crop) slabs.
+
+    Key fact: within an output tile the sample positions span a narrow,
+    contiguous source interval — pass A's iso-row slope is bounded by the
+    axis swap (|a| ≤ ~1 ⇒ span ≤ chunk_a over an x-chunk) and the per-row
+    sweep is bounded by the crop covering the view (≤ crop/out per output
+    row). So a *statically sized* band around the tile's position minimum
+    contains every nonzero tent tap; weights outside it are exactly zero.
+    The band start is data-dependent but the slice is ONE contiguous slab
+    per tile (an efficient dynamic-slice DMA) — unlike the rejected
+    per-line banding whose vmapped slices lowered to scalar gathers
+    (PERF.md "negative result"). Cuts both the tent-generation VPU work
+    and the contraction depth K by crop/band (~2.5-3.5× at crop 512) —
+    but measured 1.6-1.8× SLOWER than the dense slabs on v5e: the
+    ``lax.map`` tile loop serialises what dense runs as a few large fused
+    einsums, and at N=3 RHS channels the contraction is VPU/HBM-bound, so
+    the saved FLOPs buy nothing (PERF.md "Second negative result"). Kept
+    for reproduction via ``render_batch_twopass(band=True)`` and
+    tools/bench_render.py; not exposed as a config flag.
+    """
+    Hm, Wm = map_bank.shape[1], map_bank.shape[2]
+    edge = quad_xy[1] - quad_xy[0]
+    swap = jnp.abs(edge[0]) < jnp.abs(edge[1])
+    quad_sw = jnp.where(swap, quad_xy[:, ::-1], quad_xy)
+    H3 = square_to_quad_homography(quad_sw.astype(jnp.float32))
+
+    src_h = jnp.where(swap, Wm, Hm)
+    src_w = jnp.where(swap, Hm, Wm)
+    mins = jnp.min(quad_sw, axis=0)
+    y0 = jnp.clip(jnp.floor(mins[1]).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(src_h - crop_hw, 0))
+    x0 = jnp.clip(jnp.floor(mins[0]).astype(jnp.int32) - 1, 0,
+                  jnp.maximum(src_w - crop_hw, 0))
+    crop_n = jax.lax.dynamic_slice(
+        map_bank, (idx, y0, x0, 0), (1, crop_hw, crop_hw, 3)
+    )[0]
+    crop_t = jnp.swapaxes(
+        jax.lax.dynamic_slice(
+            map_bank, (idx, x0, y0, 0), (1, crop_hw, crop_hw, 3)
+        )[0], 0, 1,
+    )
+    crop = jnp.where(swap, crop_t, crop_n).astype(compute_dtype)
+
+    a, b = _iso_row_coeffs(H3, out_hw)
+    x_abs = x0.astype(jnp.float32) + jnp.arange(crop_hw, dtype=jnp.float32)
+    posA = a[None, :] * x_abs[:, None] + b[None, :] - y0.astype(jnp.float32)
+    coords = view_to_map_coords(quad_sw.astype(jnp.float32), out_hw)
+    posB = coords[..., 0] - x0.astype(jnp.float32)      # (v, u)
+
+    # --- static tile/band geometry ---
+    xc = chunk_a                                   # pass-A x-tile
+    vc = _largest_divisor(out_hw, 32)              # output-row tile (224→28)
+    uc = vc                                        # pass-B column tile
+    # position span bounds (see docstring): |a|·xc over x, crop/out per
+    # output row/col, + tent support and rounding margin
+    per_out = -(-crop_hw // out_hw) + 1
+    band_a = min(crop_hw, _round_up(xc + per_out * vc + 8, 8))
+    band_b = min(crop_hw, _round_up(per_out * (uc + vc) + 8, 8))
+    nx, nv, nu = crop_hw // xc, out_hw // vc, out_hw // uc
+
+    # --- pass A: banded vertical resample ---
+    def passA(t):
+        xi, vi = t // nv, t % nv
+        pa = jax.lax.dynamic_slice(posA, (xi * xc, vi * vc), (xc, vc))
+        h0 = jnp.clip(jnp.floor(jnp.min(pa)).astype(jnp.int32) - 1, 0,
+                      crop_hw - band_a)
+        cols = jax.lax.dynamic_slice(crop, (h0, xi * xc, 0),
+                                     (band_a, xc, 3))
+        WA = _tent(pa - h0.astype(jnp.float32), band_a, compute_dtype)
+        return jnp.einsum("xhv,hxc->xvc", WA, cols,
+                          preferred_element_type=jnp.float32)
+
+    I = jax.lax.map(passA, jnp.arange(nx * nv))     # (nx·nv, xc, vc, 3)
+    I = (I.reshape(nx, nv, xc, vc, 3).transpose(0, 2, 1, 3, 4)
+          .reshape(crop_hw, out_hw, 3).astype(compute_dtype))
+
+    # --- pass B: banded horizontal resample ---
+    def passB(t):
+        vi, ui = t // nu, t % nu
+        pb = jax.lax.dynamic_slice(posB, (vi * vc, ui * uc), (vc, uc))
+        x0b = jnp.clip(jnp.floor(jnp.min(pb)).astype(jnp.int32) - 1, 0,
+                       crop_hw - band_b)
+        Iv = jax.lax.dynamic_slice(I, (x0b, vi * vc, 0), (band_b, vc, 3))
+        WB = _tent(pb - x0b.astype(jnp.float32), band_b, compute_dtype)
+        return jnp.einsum("vxu,xvc->vuc", WB, Iv,
+                          preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(passB, jnp.arange(nv * nu))   # (nv·nu, vc, uc, 3)
+    out = (out.reshape(nv, nu, vc, uc, 3).transpose(0, 2, 1, 3, 4)
+              .reshape(out_hw, out_hw, 3).astype(jnp.float32))
+    return out
+
+
+def _round_up(n: int, q: int) -> int:
+    return -(-n // q) * q
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "round_corners", "crop_hw", "chunk", "bf16"),
+    static_argnames=("out_hw", "round_corners", "crop_hw", "chunk", "bf16",
+                     "band"),
 )
 def render_batch_twopass(
     map_bank: jnp.ndarray,
@@ -173,9 +279,16 @@ def render_batch_twopass(
     crop_hw: int = 512,
     chunk: int = 64,
     bf16: bool = True,
+    band: bool = False,
 ):
     """Drop-in fast replacement for ``render_batch``: full-resolution
     two-pass MXU warp + the exact analytic saliency.
+
+    ``band``: run both passes on banded tiles (``_warp_item_banded``) —
+    same result (the excluded tent weights are exactly zero; only dot
+    reduction order differs), ~crop/band less tent-generation and
+    contraction work on paper, but measured SLOWER on v5e at every crop
+    (PERF.md "Second negative result") — benchmark-only, default off.
 
     Returns (views (B, out, out, 3) float32, saliency (B, out, out)).
     """
@@ -194,10 +307,16 @@ def render_batch_twopass(
     # (224 → 56 at the default chunk 64; any out_hw has divisor 1 worst-case)
     chunk_b = max(d for d in range(1, chunk + 1) if out_hw % d == 0)
 
-    views = jax.vmap(
-        lambda i, q: _warp_item(map_bank, i, q, crop_hw, out_hw, chunk,
-                                chunk_b, compute_dtype)
-    )(map_idx, src_quads_xy)
+    if band:
+        views = jax.vmap(
+            lambda i, q: _warp_item_banded(map_bank, i, q, crop_hw, out_hw,
+                                           chunk, compute_dtype)
+        )(map_idx, src_quads_xy)
+    else:
+        views = jax.vmap(
+            lambda i, q: _warp_item(map_bank, i, q, crop_hw, out_hw, chunk,
+                                    chunk_b, compute_dtype)
+        )(map_idx, src_quads_xy)
 
     # exact analytic saliency on the true inverse-map grid (unswapped)
     def sal_item(quad, circ, nc):

@@ -23,6 +23,7 @@ shapes.
 import json
 import os
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -135,15 +136,24 @@ def bench_eval(twopass: bool = False, batch_size: int = BATCH,
     }
 
 
-def bench_train():
+def bench_train(batch_size: int = TRAIN_BATCH, bf16: bool = False,
+                twopass: bool = False, remat: Optional[str] = None):
+    import dataclasses
     import jax
     import jax.numpy as jnp
     from avdn_tpu.train import make_train_step
     import __graft_entry__ as g
 
     world, cfg, (bert, dk, et), state, batch = g._flagship(
-        batch_size=TRAIN_BATCH, map_px=1024, max_action_len=TRAIN_T, seed=0
+        batch_size=batch_size, map_px=1024, max_action_len=TRAIN_T, seed=0,
+        bf16=bf16,
     )
+    if twopass or remat:
+        cfg = dataclasses.replace(
+            cfg, render_twopass=twopass,
+            remat=remat is not None,
+            remat_policy=remat or "full",
+        )
     step_fn = make_train_step(cfg, bert, dk, et)
     bank = jnp.asarray(world.map_bank)
     n_iters = 4
@@ -167,7 +177,7 @@ def bench_train():
     flops1 = _flops_per_call(step1,
                              (state, bank, batch, jax.random.PRNGKey(0)))
     return {
-        "eps": TRAIN_BATCH * n_iters / dt,
+        "eps": batch_size * n_iters / dt,
         "model_flops_per_sec": (flops1 * n_iters / dt) if flops1 else None,
     }
 
@@ -206,6 +216,14 @@ def main():
         out["serving_b128_bf16_twopass_crop256_eps"] = round(sv["eps"], 2)
         if sv.get("model_flops_per_sec"):
             out["serving_mfu_pct_v5e_bf16_peak"] = _mfu(sv)
+    if os.environ.get("AVDN_BENCH_TRAIN_FAST") == "1":
+        # opt-in (extra cold compile): the optimized training recipe —
+        # batch 16, bf16 towers, two-pass render, --remat_policy dots
+        # (PERF.md "Train-step profile")
+        tf = bench_train(batch_size=16, bf16=True, twopass=True, remat="dots")
+        out["train_fast_b16_bf16_twopass_dots_eps"] = round(tf["eps"], 2)
+        if tf.get("model_flops_per_sec"):
+            out["train_fast_mfu_pct_v5e_bf16_peak"] = _mfu(tf)
     for tag, r in (("eval", ev), ("eval_twopass", ev2), ("train", tr)):
         if r.get("model_flops_per_sec"):
             out[f"{tag}_model_tflops_per_sec"] = round(

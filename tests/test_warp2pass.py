@@ -162,6 +162,48 @@ class TestTwoPassVsCV2:
         np.testing.assert_array_equal(np.asarray(outs[True].gt_progress),
                                       np.asarray(outs[False].gt_progress))
 
+    def test_banded_equals_dense(self):
+        """``band=True`` runs both passes on (tile × source-band) blocks;
+        the excluded tent weights are exactly zero, so fp32 results must
+        match the dense formulation bit-for-bit (modulo dot-reduction
+        order) across random perspective quads, the full heading circle
+        (axis-swap degeneracy), and off-map borders."""
+        rng = np.random.default_rng(11)
+        H, W, B = 512, 512, 8
+        bank = rng.integers(0, 256, (2, H, W, 3), np.uint8)
+        quads = np.stack([rand_quad_in(rng, W, H, rmax=140)
+                          for _ in range(B)])
+        mi = rng.integers(0, 2, B).astype(np.int32)
+        z3 = jnp.zeros((B, 1, 3), jnp.float32)
+        zi = np.zeros((B,), np.int32)
+        for crop in (256, 512):
+            dense, sd = render_batch_twopass(
+                jnp.asarray(bank), jnp.asarray(mi), jnp.asarray(quads), z3,
+                jnp.asarray(zi), crop_hw=crop, bf16=False)
+            bandv, sb = render_batch_twopass(
+                jnp.asarray(bank), jnp.asarray(mi), jnp.asarray(quads), z3,
+                jnp.asarray(zi), crop_hw=crop, bf16=False, band=True)
+            np.testing.assert_allclose(np.asarray(bandv), np.asarray(dense),
+                                       atol=1e-3)
+            np.testing.assert_array_equal(np.asarray(sb), np.asarray(sd))
+        # heading circle incl. the 90°/270° swap
+        z1 = jnp.zeros((1, 1, 3), jnp.float32)
+        zi1 = np.zeros((1,), np.int32)
+        for k in range(12):
+            th = k * np.pi / 6
+            ang = th + np.array([0, 0.5, 1.0, 1.5]) * np.pi
+            quad = np.round(np.stack(
+                [256.0 + 80 * np.cos(ang), 256.0 + 80 * np.sin(ang)], -1
+            )).astype(np.float32)[None]
+            dense, _ = render_batch_twopass(
+                jnp.asarray(bank[:1]), jnp.asarray(zi1), jnp.asarray(quad),
+                z1, jnp.asarray(zi1), crop_hw=256, bf16=False)
+            bandv, _ = render_batch_twopass(
+                jnp.asarray(bank[:1]), jnp.asarray(zi1), jnp.asarray(quad),
+                z1, jnp.asarray(zi1), crop_hw=256, bf16=False, band=True)
+            np.testing.assert_allclose(np.asarray(bandv), np.asarray(dense),
+                                       atol=1e-3, err_msg=f"heading {k*30}")
+
     def test_border_zero_semantics(self):
         """Quad partially off the map: outside pixels must be exactly 0 in
         both paths (cv2 borderValue=0)."""

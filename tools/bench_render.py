@@ -28,11 +28,11 @@ def measure(fn, quads, label):
         return jax.lax.fori_loop(0, ITERS, body, 0.0)
 
     f = jax.jit(many)
-    o = f(quads, jax.random.PRNGKey(0))
-    jax.block_until_ready(o)
+    # completion forced by host fetch — block_until_ready is not a sync
+    # point on this backend (PERF.md "Timing methodology")
+    np.asarray(jax.device_get(f(quads, jax.random.PRNGKey(0))))
     t0 = time.perf_counter()
-    o = f(quads, jax.random.PRNGKey(1))
-    jax.block_until_ready(o)
+    np.asarray(jax.device_get(f(quads, jax.random.PRNGKey(1))))
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{label:34s} {dt*1e3:8.2f} ms/step   ({B} views)")
     return dt
@@ -58,11 +58,13 @@ def main():
         quads, "exact 4-tap gather (parity)")
     for crop in (256, 512):
         for bf16 in (True, False):
-            t = measure(
-                lambda q, c=crop, b=bf16: render_batch_twopass(
-                    bank, map_idx, q, circles, n_circ, crop_hw=c, bf16=b),
-                quads, f"two-pass MXU crop={crop} bf16={bf16}")
-            print(f"    speedup vs exact: {t_exact / t:.2f}x")
+            for band in (False, True):
+                t = measure(
+                    lambda q, c=crop, b=bf16, bd=band: render_batch_twopass(
+                        bank, map_idx, q, circles, n_circ, crop_hw=c, bf16=b,
+                        band=bd),
+                    quads, f"two-pass MXU crop={crop} bf16={bf16} band={band}")
+                print(f"    speedup vs exact: {t_exact / t:.2f}x")
     for sub in (2, 4):
         t = measure(
             lambda q, s=sub: render_batch(bank, map_idx, q, circles, n_circ,
