@@ -47,7 +47,10 @@ def _run_fixture_flow(tmp_path_factory):
     for r in recs:
         step = r.get("step")
         for k, v in r.items():
-            if k != "step" and isinstance(v, (int, float)):
+            # throughput/* are wall-clock rates — machine-dependent, never
+            # pinned (the golden freezes semantics, not speed)
+            if (k != "step" and isinstance(v, (int, float))
+                    and not k.startswith("throughput/")):
                 flat[f"{step}/{k}"] = float(v)
     return flat
 
