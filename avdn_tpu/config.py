@@ -77,6 +77,7 @@ class Args:
     grad_accum: int = 1  # micro-batch count (batch_size must divide evenly)
     remat: bool = False  # rematerialise rollout steps (fit bigger train batches)
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
+    fused_teacher: bool = True  # time-fused teacher rollouts (same math, 1 wide call)
     async_ckpt: bool = True  # background orbax writes
     prefetch: bool = True  # overlap host batch assembly with device steps
     preempt_save: bool = True  # SIGTERM: checkpoint + clean exit (preemption)
@@ -100,7 +101,7 @@ _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
     "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
     "render_twopass", "render_bf16", "fold_bn_eval", "async_ckpt",
-    "prefetch", "remat", "preempt_save",
+    "prefetch", "remat", "preempt_save", "fused_teacher",
 }
 
 _HELP = {
@@ -141,6 +142,11 @@ _HELP = {
     "remat": "recompute rollout activations under AD (fit bigger batches)",
     "remat_policy": "'full' (recompute all) or 'dots' (save matmul/conv "
                     "outputs, recompute elementwise only)",
+    "fused_teacher": "time-fused teacher-forced rollouts (one wide "
+                     "render/tower call instead of T scan steps; same math, "
+                     "same rng streams; under --remat only the student "
+                     "rollout is rematerialised — disable if the O(T*B) "
+                     "teacher tower footprint doesn't fit)",
     "async_ckpt": "background orbax checkpoint writes",
     "prefetch": "overlap host batch assembly with device steps",
     "preempt_save": "on SIGTERM save latest_dict_{step} and exit cleanly "

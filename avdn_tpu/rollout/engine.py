@@ -101,6 +101,14 @@ class RolloutConfig:
     remat_policy: str = "full"         # "full": recompute everything;
     # "dots": save matmul/conv outputs, recompute only elementwise (lower
     # recompute tax, higher residency — jax.checkpoint_policies)
+    fused_teacher: bool = True         # time-fused teacher-forced rollouts:
+    # the teacher trajectory is model-independent (actions/stops come from
+    # the oracle geometry alone), so render + towers run time-batched in one
+    # wide call instead of T sequential scan steps (rollout/fused.py). Same
+    # math, same rng streams. Under --remat only the student rollout is
+    # rematerialised; the fused teacher half stores its activations (O(T·B)
+    # tower footprint) — set fused_teacher=False if that bound doesn't fit.
+    # Student mode always scans (genuinely closed loop).
 
 
 @flax.struct.dataclass
@@ -134,6 +142,52 @@ def _corners_to_img(corners, extent, lat_ratio):
     return jnp.stack([x, y], axis=-1)
 
 
+def render_views(map_bank, batch: EpisodeBatch, corners, cfg: RolloutConfig):
+    """Render the batch's current views + GT saliency (one copy of the
+    render dispatch, shared by the scan body and the fused teacher path)."""
+    quad_img = _corners_to_img(corners, batch.extent, batch.lat_ratio)
+    if cfg.render_twopass:
+        return render_batch_twopass(
+            map_bank, batch.map_idx, quad_img, batch.circles,
+            batch.n_circles, crop_hw=cfg.render_crop, bf16=cfg.render_bf16,
+        )
+    return render_batch(
+        map_bank, batch.map_idx, quad_img, batch.circles,
+        batch.n_circles, subsample=cfg.render_subsample,
+    )
+
+
+def decode_action(action):
+    """Raw model action (B, 4) → (wp_norm, alt_clip, prog_clip) exactly as
+    the reference decodes (agent.py:640-653): ∞-ball clamp + [0,1] clips."""
+    action = action.astype(jnp.float32)
+    pred_wp = action[:, 0:2]
+    denom = jnp.maximum(jnp.max(jnp.abs(pred_wp), axis=-1, keepdims=True), 1.0)
+    wp_norm = pred_wp / denom
+    alt_clip = jnp.clip(action[:, 2], 0.0, 1.0)
+    prog_clip = jnp.clip(action[:, 3], 0.0, 1.0)
+    return wp_norm, alt_clip, prog_clip
+
+
+def dynamics_update(corners, directions, act_wp, act_alt, prog_stop, thresh,
+                    t, T, extent):
+    """One simulator transition (agent.py:733-757), shared by the scan body
+    and the fused teacher path: the stop decision gates the move; items that
+    stop keep their corners. Returns (stop_now, new_corners, new_dirs)."""
+    stop_now = (prog_stop > thresh) | (t == T - 1)
+    a_dir = (jnp.arctan2(act_wp[:, 0], act_wp[:, 1]) / _PI_REF + 2.0) / 2.0 % 1.0
+    half_edge = jnp.linalg.norm(corners[:, 0] - corners[:, 1], axis=-1) / 2.0
+    a_dist = jnp.linalg.norm(act_wp, axis=-1) * half_edge
+    a_alt_m = jnp.round(act_alt * 360.0) + 40.0
+    moved, moved_dir = move_view_corners_batch(
+        corners, jnp.round(a_dir * 360.0), a_dist, a_alt_m, extent, directions
+    )
+    do_move = ~stop_now
+    new_corners = jnp.where(do_move[:, None, None], moved, corners)
+    new_dirs = jnp.where(do_move, moved_dir, directions)
+    return stop_now, new_corners, new_dirs
+
+
 def rollout(
     *,
     map_bank: jnp.ndarray,
@@ -161,18 +215,7 @@ def rollout(
         any_alive = ~jnp.all(ended)
 
         # ---- render current views on device ----
-        quad_img = _corners_to_img(corners, batch.extent, batch.lat_ratio)
-        if cfg.render_twopass:
-            views, gt_sal = render_batch_twopass(
-                map_bank, batch.map_idx, quad_img, batch.circles,
-                batch.n_circles, crop_hw=cfg.render_crop,
-                bf16=cfg.render_bf16,
-            )
-        else:
-            views, gt_sal = render_batch(
-                map_bank, batch.map_idx, quad_img, batch.circles,
-                batch.n_circles, subsample=cfg.render_subsample,
-            )
+        views, gt_sal = render_views(map_bank, batch, corners, cfg)
         # input normalisation — the /std is folded into the first conv when
         # the eval tower is BN-folded (fold_darknet_params); the mean
         # subtraction must stay here (the conv zero-pads the NORMALISED
@@ -194,15 +237,12 @@ def rollout(
         # towers may compute in bfloat16; losses/geometry stay fp32
         action = action.astype(jnp.float32)
         pred_sal = pred_sal.astype(jnp.float32)
+        # losses see the RAW head outputs (agent.py:663-669); the decode
+        # below only feeds the trajectory records and student feedback
         pred_wp = action[:, 0:2]
         pred_alt = action[:, 2]
         pred_prog = action[:, 3]
-
-        # decode (agent.py:640-653): ∞-ball clamp + [0,1] clips
-        denom = jnp.maximum(jnp.max(jnp.abs(pred_wp), axis=-1, keepdims=True), 1.0)
-        wp_norm = pred_wp / denom
-        alt_clip = jnp.clip(pred_alt, 0.0, 1.0)
-        prog_clip = jnp.clip(pred_prog, 0.0, 1.0)
+        wp_norm, alt_clip, prog_clip = decode_action(action)
 
         # ---- oracle + losses ----
         need_sal_stats = cfg.compute_losses or cfg.collect_ha_metrics
@@ -249,20 +289,11 @@ def rollout(
             prog_stop = prog_clip
             thresh = cfg.stop_threshold
 
-        stop_now = (prog_stop > thresh) | (t == T - 1)
-        ended_next = ended | stop_now
-
-        # ---- dynamics (agent.py:745-757) ----
-        a_dir = (jnp.arctan2(act_wp[:, 0], act_wp[:, 1]) / _PI_REF + 2.0) / 2.0 % 1.0
-        half_edge = jnp.linalg.norm(corners[:, 0] - corners[:, 1], axis=-1) / 2.0
-        a_dist = jnp.linalg.norm(act_wp, axis=-1) * half_edge
-        a_alt_m = jnp.round(act_alt * 360.0) + 40.0
-        moved, moved_dir = move_view_corners_batch(
-            corners, jnp.round(a_dir * 360.0), a_dist, a_alt_m, batch.extent, directions
+        stop_now, new_corners, new_dirs = dynamics_update(
+            corners, directions, act_wp, act_alt, prog_stop, thresh, t, T,
+            batch.extent,
         )
-        do_move = ~stop_now
-        new_corners = jnp.where(do_move[:, None, None], moved, corners)
-        new_dirs = jnp.where(do_move, moved_dir, directions)
+        ended_next = ended | stop_now
 
         ys = dict(
             alive_pre=~ended,

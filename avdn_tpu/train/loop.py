@@ -198,6 +198,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         grad_accum=args.grad_accum,
         remat=args.remat,
         remat_policy=args.remat_policy,
+        fused_teacher=args.fused_teacher,
     )
 
 

@@ -76,6 +76,7 @@ class TrainConfig:
     fold_bn_eval: bool = True     # fold BN + input norm into eval conv weights
     remat: bool = False           # rematerialise scan steps under AD
     remat_policy: str = "full"    # "full" | "dots" (save matmul outputs)
+    fused_teacher: bool = True    # time-fused teacher rollouts (rollout/fused.py)
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
                     **kw) -> RolloutConfig:
@@ -94,6 +95,7 @@ class TrainConfig:
             render_bf16=self.render_bf16,
             remat=self.remat and train,
             remat_policy=self.remat_policy,
+            fused_teacher=self.fused_teacher,
             **kw,
         )
 
@@ -182,6 +184,19 @@ def _run_family_rollout(
     )
     dk_vars = {"params": params["darknet"], "batch_stats": batch_stats}
     vln_vars = {"params": params["vln"]}
+    if (
+        roll_cfg.teacher_forcing
+        and roll_cfg.fused_teacher
+        and cfg.family in ("et", "lstm")
+    ):
+        from avdn_tpu.rollout.fused import rollout_teacher_fused
+
+        out, model_state = rollout_teacher_fused(
+            map_bank=map_bank, batch=ep, cfg=roll_cfg, family=cfg.family,
+            darknet_model=darknet_model, vln_model=vln_model,
+            dk_vars=dk_vars, vln_vars=vln_vars, rng=rng,
+        )
+        return out, model_state["batch_stats"]
     if cfg.family == "et":
         step, init_state = make_et_step(
             darknet_model, vln_model, dk_vars, vln_vars, ep, roll_cfg

@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--remat", choices=["none", "full", "dots"], default="none")
     ap.add_argument("--grad_accum", type=int, default=1)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--no_fused", action="store_true",
+                    help="disable the time-fused teacher rollout (A/B)")
     ns = ap.parse_args(argv)
 
     import jax
@@ -60,6 +62,7 @@ def main(argv=None):
         remat=ns.remat != "none",
         remat_policy="dots" if ns.remat == "dots" else "full",
         grad_accum=ns.grad_accum,
+        fused_teacher=not ns.no_fused,
     )
     step_fn = make_train_step(cfg, bert, dk, et)
     bank = jnp.asarray(world.map_bank)
@@ -94,7 +97,7 @@ def main(argv=None):
         "config": {
             "batch": ns.batch, "T": ns.horizon, "bf16": ns.bf16,
             "twopass": ns.twopass, "crop": ns.crop, "remat": ns.remat,
-            "grad_accum": ns.grad_accum,
+            "grad_accum": ns.grad_accum, "fused_teacher": not ns.no_fused,
         },
         "eps": round(ns.batch * n_iters / dt, 2),
         "ms_per_step": round(dt / n_iters * 1e3, 1),
