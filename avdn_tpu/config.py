@@ -78,6 +78,8 @@ class Args:
     remat: bool = False  # rematerialise rollout steps (fit bigger train batches)
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
     fused_teacher: bool = True  # time-fused teacher rollouts (same math, 1 wide call)
+    fast_eval_trunk: bool = True  # one-pass teacher-eval ET trunk (same math)
+    et_decode_trunk: bool = False  # incremental eval-scan trunk decode (opt-in)
     async_ckpt: bool = True  # background orbax writes
     prefetch: bool = True  # overlap host batch assembly with device steps
     preempt_save: bool = True  # SIGTERM: checkpoint + clean exit (preemption)
@@ -101,7 +103,8 @@ _BOOL_FLAGS = {
     "eval_first", "inference", "resume_optimizer", "no_direction",
     "language_only", "vision_only", "train_val_on_full", "submit", "bf16",
     "render_twopass", "render_bf16", "fold_bn_eval", "async_ckpt",
-    "prefetch", "remat", "preempt_save", "fused_teacher",
+    "prefetch", "remat", "preempt_save", "fused_teacher", "fast_eval_trunk",
+    "et_decode_trunk",
 }
 
 _HELP = {
@@ -147,6 +150,14 @@ _HELP = {
                      "same rng streams; under --remat only the student "
                      "rollout is rematerialised — disable if the O(T*B) "
                      "teacher tower footprint doesn't fit)",
+    "fast_eval_trunk": "teacher-forced eval: ONE causal ET trunk pass "
+                       "instead of T step-masked re-encodes (same math, "
+                       "deterministic mode only; models/et_fast.py). Train "
+                       "always uses the full re-encode (dropout)",
+    "et_decode_trunk": "eval scans: incremental KV-decode of the ET trunk "
+                       "(same math). Opt-in: wins ~3% at short dialogs, "
+                       "measured slower at max_instr_len 100 (PERF.md "
+                       "'Eval-trunk reformulations')",
     "async_ckpt": "background orbax checkpoint writes",
     "prefetch": "overlap host batch assembly with device steps",
     "preempt_save": "on SIGTERM save latest_dict_{step} and exit cleanly "

@@ -109,6 +109,18 @@ class RolloutConfig:
     # rematerialised; the fused teacher half stores its activations (O(T·B)
     # tower footprint) — set fused_teacher=False if that bound doesn't fit.
     # Student mode always scans (genuinely closed loop).
+    fast_eval_trunk: bool = True       # ET family, eval (deterministic) only:
+    # the fused teacher eval runs ONE causal trunk pass instead of T
+    # step-masked re-encodes — an exact reformulation (models/et_fast.py,
+    # pinned by tests/test_et_fast.py). Train mode always re-encodes
+    # (per-step dropout makes the passes distinct). Measured +5-7% on the
+    # two-pass HA eval (PERF.md "Eval-trunk reformulations").
+    et_decode_trunk: bool = False      # ET family, eval scans only: decode
+    # the trunk incrementally (per step only the two new tokens attend
+    # cached language+history K/V) — also exact, but measured SLOWER at
+    # realistic dialog lengths (the per-step key concat is data movement the
+    # full re-encode fuses away; PERF.md). Opt-in for short-dialog serving
+    # (+3% at L≈24).
 
 
 @flax.struct.dataclass
@@ -379,9 +391,21 @@ def make_et_step(
 ):
     """ET closure: pads history to T and re-encodes the full episode each
     step (the reference's O(T²) semantics, agent.py:605-630, kept for model
-    parity — the transformer *is* history-conditioned)."""
+    parity — the transformer *is* history-conditioned).
+
+    In eval (deterministic) mode with ``cfg.et_decode_trunk`` the full
+    re-encode is replaced by an exact incremental KV decode: each step only
+    the two new tokens (frame t, direction t) run through the trunk against
+    cached language + history keys/values (models/et_fast.py). Same outputs
+    — the causal masks make every history token step-invariant. Opt-in:
+    measured slower at realistic dialog lengths (PERF.md)."""
     B = batch.lang_feat.shape[0]
     T = cfg.max_action_len
+
+    if not cfg.train and cfg.et_decode_trunk:
+        return _make_et_decode_step(
+            darknet_model, et_model, darknet_vars, et_params, batch, cfg
+        )
 
     def init_state(feat_channels: int, spatial: int):
         return {
@@ -424,6 +448,52 @@ def make_et_step(
             "dirs": dirs,
             "lengths": lengths,
             "batch_stats": new_stats,
+        }
+        return new_state, action, sal
+
+    return step, init_state
+
+
+def _make_et_decode_step(
+    darknet_model, et_model, darknet_vars, et_params, batch: EpisodeBatch,
+    cfg: RolloutConfig,
+):
+    """Incremental-decode ET closure (eval only — see make_et_step)."""
+    from avdn_tpu.models import et_fast
+
+    B = batch.lang_feat.shape[0]
+    T = cfg.max_action_len
+    et_cfg = et_model.cfg
+    dtype = et_model.dtype
+    # episode constants: per-layer language K/V (computed once; hoisted out
+    # of the scan as loop invariants)
+    lang_kv = et_fast.make_lang_cache(
+        et_params, et_cfg, batch.lang_feat, batch.lang_mask, dtype=dtype
+    )
+
+    def init_state(feat_channels: int, spatial: int):
+        return {
+            "cache": et_fast.init_cache(et_cfg, B, T, dtype=dtype),
+            "lengths": jnp.zeros((B,), jnp.int32),
+            "batch_stats": darknet_vars.get("batch_stats", {}),
+        }
+
+    def step(state, x, dir_feat, t, ended, rng):
+        dk_vars = {"params": darknet_vars["params"]}
+        if state["batch_stats"]:
+            dk_vars["batch_stats"] = state["batch_stats"]
+        feats = darknet_model.apply(dk_vars, x, train=False)
+        if cfg.language_only:
+            feats = jnp.zeros_like(feats)
+        lengths = state["lengths"] + (~ended).astype(jnp.int32)
+        cache, action, sal = et_fast.decode_step(
+            et_params, et_cfg, lang_kv, state["cache"], batch.lang_cls,
+            feats, dir_feat, t, lengths, batch.lang_mask, dtype=dtype,
+        )
+        new_state = {
+            "cache": cache,
+            "lengths": lengths,
+            "batch_stats": state["batch_stats"],
         }
         return new_state, action, sal
 

@@ -236,6 +236,17 @@ def _et_actions(et_model, et_params, batch: EpisodeBatch, cfg: RolloutConfig,
 
     if cfg.train:
         actions, sal = jax.vmap(trunk)(jnp.arange(T), lengths_t, r_model)
+    elif cfg.fast_eval_trunk:
+        # deterministic mode: ONE causal pass over the full history equals
+        # all T step-masked re-encodes (models/et_fast.py docstring has the
+        # proof sketch; equality pinned by tests/test_et_fast.py)
+        from avdn_tpu.models import et_fast
+
+        actions, sal = et_fast.teacher_onepass(
+            et_params, et_model.cfg, batch.lang_feat, batch.lang_cls,
+            frames_full, dirs_full, lengths_t, batch.lang_mask,
+            dtype=et_model.dtype,
+        )
     else:
         actions, sal = jax.vmap(trunk, in_axes=(0, 0, None))(
             jnp.arange(T), lengths_t, r_model[0]

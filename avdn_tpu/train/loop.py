@@ -199,6 +199,8 @@ def train_config_from_args(args: Args) -> TrainConfig:
         remat=args.remat,
         remat_policy=args.remat_policy,
         fused_teacher=args.fused_teacher,
+        fast_eval_trunk=args.fast_eval_trunk,
+        et_decode_trunk=args.et_decode_trunk,
     )
 
 

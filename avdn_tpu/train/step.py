@@ -77,6 +77,8 @@ class TrainConfig:
     remat: bool = False           # rematerialise scan steps under AD
     remat_policy: str = "full"    # "full" | "dots" (save matmul outputs)
     fused_teacher: bool = True    # time-fused teacher rollouts (rollout/fused.py)
+    fast_eval_trunk: bool = True  # one-pass teacher eval trunk (et_fast.py)
+    et_decode_trunk: bool = False  # incremental eval scan decode (opt-in)
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
                     **kw) -> RolloutConfig:
@@ -96,6 +98,8 @@ class TrainConfig:
             remat=self.remat and train,
             remat_policy=self.remat_policy,
             fused_teacher=self.fused_teacher,
+            fast_eval_trunk=self.fast_eval_trunk,
+            et_decode_trunk=self.et_decode_trunk,
             **kw,
         )
 

@@ -86,7 +86,7 @@ def _enable_compile_cache():
 
 
 def bench_eval(twopass: bool = False, batch_size: int = BATCH,
-               bf16: bool = False, crop: int = 512):
+               bf16: bool = False, crop: int = 512, teacher: bool = False):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -99,7 +99,10 @@ def bench_eval(twopass: bool = False, batch_size: int = BATCH,
     )
     if twopass:
         cfg = dataclasses.replace(cfg, render_twopass=True, render_crop=crop)
-    eval_fn = make_eval_rollout(cfg, bert, dk, et, teacher=False)
+    # teacher=True is the human-attention eval: time-fused rollout + the
+    # one-pass trunk (rollout/fused.py + models/et_fast.py)
+    eval_fn = make_eval_rollout(cfg, bert, dk, et, teacher=teacher,
+                                collect_ha=teacher)
     bank = jnp.asarray(world.map_bank)
     n_iters = 10
 
@@ -191,6 +194,7 @@ def main():
     _enable_compile_cache()
     ev = bench_eval()
     ev2 = bench_eval(twopass=True)
+    ha = bench_eval(twopass=True, teacher=True)
     tr = bench_train()
     out = {
         # headline stays the exact-parity mode; fast modes are aux
@@ -199,6 +203,7 @@ def main():
         "unit": "episodes/s",
         "vs_baseline": round(ev["eps"] / REFERENCE_EPISODES_PER_SEC, 2),
         "eval_twopass_episodes_per_sec": round(ev2["eps"], 2),
+        "ha_eval_twopass_episodes_per_sec": round(ha["eps"], 2),
         "train_episodes_per_sec": round(tr["eps"], 2),
         "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
         "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",
@@ -224,7 +229,8 @@ def main():
         out["train_fast_b16_bf16_twopass_dots_eps"] = round(tf["eps"], 2)
         if tf.get("model_flops_per_sec"):
             out["train_fast_mfu_pct_v5e_bf16_peak"] = _mfu(tf)
-    for tag, r in (("eval", ev), ("eval_twopass", ev2), ("train", tr)):
+    for tag, r in (("eval", ev), ("eval_twopass", ev2),
+                   ("ha_eval_twopass", ha), ("train", tr)):
         if r.get("model_flops_per_sec"):
             out[f"{tag}_model_tflops_per_sec"] = round(
                 r["model_flops_per_sec"] / 1e12, 2)

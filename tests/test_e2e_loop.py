@@ -230,3 +230,30 @@ class TestEndToEnd:
         assert args.render_crop > 0  # auto-derived
         names = os.listdir(args.ckpt_dir)
         assert "best_val_unseen" in names
+
+    def test_train_loop_decode_trunk(self, run_dirs, tmp_path_factory):
+        """--et_decode_trunk (opt-in incremental eval-scan trunk) through
+        the full driver: eval metrics match the default full re-encode run
+        exactly (deterministic eval, same seed)."""
+        from avdn_tpu.train.loop import train
+
+        root, _, cfg_path = run_dirs
+
+        def metrics_of(out, **over):
+            args = make_args(root, out, cfg_path, **over)
+            train(args)
+            recs = [json.loads(l) for l in
+                    open(os.path.join(args.log_dir, "metrics.jsonl"))]
+            return {
+                f"{r.get('step')}/{k}": v
+                for r in recs for k, v in r.items()
+                if isinstance(v, (int, float)) and not k.startswith("throughput/")
+            }
+
+        m_dec = metrics_of(str(tmp_path_factory.mktemp("out_dec")),
+                           et_decode_trunk=True)
+        m_ref = metrics_of(str(tmp_path_factory.mktemp("out_ref")))
+        assert set(m_dec) == set(m_ref)
+        for k in m_ref:
+            np.testing.assert_allclose(m_dec[k], m_ref[k], rtol=1e-4,
+                                       atol=1e-4, err_msg=k)
