@@ -135,3 +135,114 @@ def test_darknet_pretrain_import(tmp_path):
     dk = Darknet(dk_cfg)
     out = dk.apply(dk_v, jnp.zeros((2, 224, 224, 3)), train=False)
     assert out.shape == (2, 64, 49)
+
+
+# ------------------------------------------------------- export round-trip ----
+
+
+def _init_family_vars(family):
+    """Random-init flax variables for one agent family (tiny configs)."""
+    from avdn_tpu.models import HAALSTM
+    from avdn_tpu.models.lstm import LSTMConfig, init_lstm_state
+
+    bert = BertLanguageEncoder(BertConfig.tiny())
+    dk_cfg = DarknetConfig.tiny()
+    dk = Darknet(dk_cfg)
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    ids = jnp.ones((1, 8), jnp.int32)
+    bert_v = bert.init(ks[0], ids, jnp.ones_like(ids))
+    dk_v = dk.init(ks[1], jnp.zeros((1, 224, 224, 3)), train=False)
+    if family == "et":
+        vln = HAATransformer(ETConfig(demb=128, encoder_heads=HEADS,
+                                      encoder_layers=ET_LAYERS))
+        vln_v = vln.init(
+            ks[2], jnp.zeros((1, 8, 128)), jnp.zeros((1, 49)),
+            jnp.zeros((1, 4, 64, 49)), jnp.zeros((1, 4, 2)),
+            jnp.ones((1,), jnp.int32),
+        )
+    else:
+        cfg = LSTMConfig(hidden_size=128, dir_hidden=32, vis_hidden=96)
+        vln = HAALSTM(cfg)
+        vln_v = vln.init(
+            ks[2], jnp.zeros((1, 1)), jnp.zeros((1, 64, 49)),
+            jnp.zeros((1, 49)), jnp.zeros((1, 8, 128)),
+            init_lstm_state(1, cfg),
+        )
+    return dk_cfg.block_dicts(), bert_v, dk_v, vln_v
+
+
+def _assert_trees_equal(a, b, msg):
+    fa, ta = jax.tree_util.tree_flatten(a)
+    fb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb, f"{msg}: tree structure changed"
+    for xa, xb in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                      err_msg=msg)
+
+
+@pytest.mark.parametrize("family", ["et", "lstm"])
+def test_export_import_roundtrip(family, tmp_path):
+    """compat/torch_export inverts compat/torch_import exactly: params
+    trained here survive a trip through the reference's checkpoint format
+    bit-for-bit (the reference harness can agent.load() the file)."""
+    from avdn_tpu.compat.torch_export import export_reference_agent
+
+    blocks, bert_v, dk_v, vln_v = _init_family_vars(family)
+    path = str(tmp_path / "exported_agent")
+    export_reference_agent(
+        path, family, blocks, bert_v, dk_v, vln_v,
+        epoch=4, bert_layers=2, et_layers=ET_LAYERS,
+    )
+    bert_r, dk_r, vln_r, epoch = import_reference_agent(
+        path, family, blocks, bert_layers=2, et_layers=ET_LAYERS
+    )
+    assert epoch == 4
+    _assert_trees_equal(bert_v["params"], bert_r["params"], "bert")
+    _assert_trees_equal(dk_v["params"], dk_r["params"], "darknet params")
+    _assert_trees_equal(dk_v.get("batch_stats", {}), dk_r["batch_stats"],
+                        "darknet batch_stats")
+    _assert_trees_equal(vln_v["params"], vln_r["params"], "vln")
+
+
+def test_export_tool_from_orbax_checkpoint(tmp_path):
+    """tools/export_torch_ckpt.py: orbax checkpoint → reference .pt that
+    imports back to the same parameters."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from fixtures import write_fixture_dataset
+    from test_e2e_loop import TINY_DARKNET_CFG, make_args
+
+    root = write_fixture_dataset(str(tmp_path / "data"))
+    out = str(tmp_path / "run")
+    cfg_path = str(tmp_path / "tiny_yolo.cfg")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_DARKNET_CFG)
+    args = make_args(root, out, cfg_path)
+
+    from avdn_tpu.train import checkpoints as ckpt
+    from avdn_tpu.train.loop import build_models, init_state, train_config_from_args
+
+    cfg = train_config_from_args(args)
+    bert, darknet, vln = build_models(args)
+    state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(1))
+    ckpt.save_checkpoint(args.ckpt_dir, "latest_dict_1", state)
+    ckpt.wait_for_saves()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import export_torch_ckpt
+
+    out_pt = str(tmp_path / "exported.pt")
+    export_torch_ckpt.main([
+        "--output", out_pt,
+        "--root_dir", root, "--output_dir", out,
+        "--resume_file", "latest",
+        "--demb", "64", "--encoder_heads", "4", "--encoder_layers", "1",
+        "--bert_layers", "2", "--max_instr_len", "32", "--dialog_pad", "64",
+        "--darknet_model_file", cfg_path, "--map_bank_px", "256",
+    ])
+    bert_r, dk_r, vln_r, _ = import_reference_agent(
+        out_pt, "et", darknet.cfg.block_dicts(), bert_layers=2, et_layers=1
+    )
+    _assert_trees_equal(state.bert_params, bert_r["params"], "bert")
+    _assert_trees_equal(state.darknet_params, dk_r["params"], "darknet")
+    _assert_trees_equal(state.vln_params, vln_r["params"], "vln")
