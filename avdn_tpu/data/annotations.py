@@ -156,11 +156,20 @@ class ANDHDataset:
             idx, count = shard
             target = -(-self.total_size // count)
             part = self.data[idx::count]
+            # instr_ids this process OWNS (pre-padding): wrap-around pad
+            # items also live in another process's shard, so per-process
+            # file writers (debug overlays) must skip them to keep each
+            # output file written by exactly one process
+            self.owned_instr_ids = {
+                it["map_name"] + "__" + str(it["route_index"]) for it in part
+            }
             k = 0
             while len(part) < target:
                 part.append(self.data[k % self.total_size])
                 k += 1
             self.data = part
+        else:
+            self.owned_instr_ids = None  # unsharded: owns everything
         self.batch_size = batch_size
         self.seed = seed
         self._rng = random.Random(seed)

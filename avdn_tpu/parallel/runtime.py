@@ -294,6 +294,13 @@ def setup_runtime(args=None, batch_size: Optional[int] = None) -> ParallelRuntim
         cap = min(cap, env_cap)
     k = _pick_dp(bs, cap)
     if pc == 1 and world_size > 1 and k != world_size:
+        if world_size > cap:
+            # only reachable via the env cap — the visible-device count was
+            # already checked above; name the real knob
+            raise ValueError(
+                f"--world_size {world_size} exceeds the usable device cap "
+                f"{cap} (AVDN_DP_DEVICES={env_cap})"
+            )
         raise ValueError(
             f"--world_size {world_size} does not divide batch_size {bs}; "
             "choose a batch size divisible by the worker count"

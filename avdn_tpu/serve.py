@@ -8,7 +8,8 @@ predicted trajectories with a compiled student-forced rollout
 (``compute_losses=False`` — no ground truth required). Batches pad to a
 fixed serving batch size so one compiled program handles any request size.
 
-    nav = Navigator.from_args(args)          # or Navigator(args)
+    nav = Navigator(args)                    # args: a parsed config.Args
+    nav = Navigator.from_args(["--resume_file", ckpt, "--render_twopass", "True"])
     preds = nav.navigate(items)              # {instr_id: {path_corners, actions, progress}}
 
 Fast modes (``--render_twopass``, ``--bf16``, folding) apply exactly as in
@@ -60,6 +61,15 @@ class Navigator:
         bert, darknet, vln = build_models(args)
         state = init_state(args, bert, darknet, vln, self.cfg,
                            jax.random.PRNGKey(args.seed))
+        if args.resume_file == "latest":
+            from avdn_tpu.train.loop import _find_latest_checkpoint
+
+            args.resume_file = _find_latest_checkpoint(args.ckpt_dir)
+            if not args.resume_file:
+                raise FileNotFoundError(
+                    "--resume_file latest: no latest_dict_* checkpoint "
+                    f"under {args.ckpt_dir}"
+                )
         if args.resume_file:
             if os.path.isdir(args.resume_file):
                 ckpt.wait_for_saves()
@@ -112,7 +122,8 @@ class Navigator:
                            if it.get("gt_path_corners")
                            else it["start_corners"], np.float64)
         it["gt_path_corners"] = [np.asarray(c, np.float64)
-                                 for c in it.get("gt_path_corners", [start])]
+                                 for c in (it.get("gt_path_corners")
+                                           or [start])]
         it.setdefault("attention_list", [])
         return it
 

@@ -238,6 +238,25 @@ def build_dataset(args: Args, runtime: Optional[ParallelRuntime] = None):
     return train_env, val_envs
 
 
+def _localize_eval_state(state):
+    """Host copy of the eval-read TrainState fields (params, batch_stats,
+    step); optimizer moment trees are replaced by None — the eval rollout
+    never reads them and fetching them would quadruple the D2H bytes.
+    Idempotent: an already-localized state passes through unchanged."""
+    if state.opt_bert is None:
+        return state
+    return state.replace(
+        step=jax.device_get(state.step),
+        opt_bert=None, opt_darknet=None, opt_vln=None,
+        **jax.device_get(dict(
+            bert_params=state.bert_params,
+            darknet_params=state.darknet_params,
+            vln_params=state.vln_params,
+            batch_stats=state.batch_stats,
+        )),
+    )
+
+
 def _eval_env(args, env, eval_fn, state, tokenizer, bank, bcfg,
               rng, runtime: Optional[ParallelRuntime] = None,
               on_batch=None, profile_dir=None) -> Dict[str, dict]:
@@ -254,9 +273,12 @@ def _eval_env(args, env, eval_fn, state, tokenizer, bank, bcfg,
     preds: Dict[str, dict] = {}
     local_eval = runtime is not None and runtime.multiprocess
     if local_eval:
-        # a process-local copy of the (replicated) params: eval then runs as
-        # an independent per-process program over local devices only
-        state = jax.device_get(state)
+        # a process-local copy of ONLY what eval reads (params + BN stats):
+        # eval then runs as an independent per-process program over local
+        # devices only. The 3 AdamW moment trees (~3x the param bytes) are
+        # dropped rather than fetched, and no global (non-addressable)
+        # device array leaks into the per-process program.
+        state = _localize_eval_state(state)
 
     def _prepare(items):
         """Host batch assembly — prefetched so GeoTIFF decode/tokenisation
@@ -297,8 +319,12 @@ def _write_debug_images(args, env, preds, env_name):
     from avdn_tpu.viz import save_debug_overlays
     from avdn_tpu.data.maps import load_map_image
 
+    owned = getattr(env, "owned_instr_ids", None)
     items_by_id = {
         it["map_name"] + "__" + it["route_index"]: it for it in env.data
+        # multi-process: wrap-around pad items are owned (and written) by
+        # another process — skip them so no file is written twice
+        if owned is None or it["map_name"] + "__" + str(it["route_index"]) in owned
     }
     host_maps = {}
     for it in items_by_id.values():
@@ -352,6 +378,10 @@ def run_validation(args, state, val_envs, eval_student, eval_teacher,
     process; files (the Eval.ai npy) are written by process 0 only."""
     results = {}
     is_main = runtime is None or runtime.is_main
+    if runtime is not None and runtime.multiprocess:
+        # fetch the eval-read params once for the whole validation (every
+        # _eval_env call below would otherwise repeat the D2H transfer)
+        state = _localize_eval_state(state)
     # One fixed key for every eval batch, by design: eval runs
     # deterministic=True throughout (dropout off, BERT rngs unused), and the
     # only rng consumer left is the heading-loss jitter inside the unused
@@ -626,7 +656,6 @@ def train(args: Args):
         dt_interval = time.time() - interval_t0
         eps = len(losses) * args.batch_size * runtime.process_count / max(
             dt_interval, 1e-9)
-        interval_t0 = time.time()
         writer.scalars(it, {"loss/IL_loss": il_loss,
                             "throughput/train_eps": eps})
         writer.text(f"\nIL_loss {il_loss:.4f}  ({eps:.1f} episodes/s)")
@@ -657,6 +686,10 @@ def train(args: Args):
             f"{time_since(start, (it - start_iter) / args.iters)} iter {it} "
             f"BEST: {best_val['val_unseen']['state']}"
         )
+        # reset AFTER checkpointing + validation so the next interval's
+        # logged episodes/s covers training time only (not the previous
+        # interval's full val pass)
+        interval_t0 = time.time()
     if guard is not None:
         guard.uninstall()
     ckpt.wait_for_saves()
@@ -673,6 +706,15 @@ def valid(args: Args):
     cfg = train_config_from_args(args)
     bert, darknet, vln = build_models(args)
     state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
+    if args.resume_file == "latest":
+        # same sentinel train() honors; inference has no fresh-start
+        # fallback — evaluating random weights is never what was asked
+        args.resume_file = _find_latest_checkpoint(args.ckpt_dir)
+        if not args.resume_file:
+            raise FileNotFoundError(
+                f"--resume_file latest: no latest_dict_* checkpoint under "
+                f"{args.ckpt_dir}"
+            )
     if args.resume_file:
         if os.path.isdir(args.resume_file):
             ckpt.wait_for_saves()  # may be an in-flight async write

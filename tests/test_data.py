@@ -71,6 +71,26 @@ class TestAnnotations:
         assert all(len(b) == 3 for b in batches)
         assert len(batches) == 2  # 4 items → 2 batches of 3 (with refill)
 
+    def test_shard_ownership_disjoint_and_complete(self, fixture_root):
+        """Every instr_id is OWNED by exactly one process shard; wrap-around
+        pad items are excluded from owned_instr_ids (multi-process debug
+        writers key file ownership off this — loop._write_debug_images)."""
+        anno = os.path.join(fixture_root, "AVDN", "annotations")
+        count = 3
+        shards = [ANDHDataset(anno, ["train"], 1, seed=0, shard=(i, count))
+                  for i in range(count)]
+        full = ANDHDataset(anno, ["train"], 1, seed=0)
+        assert full.owned_instr_ids is None  # unsharded: owns everything
+        all_ids = {it["map_name"] + "__" + str(it["route_index"])
+                   for it in full.data}
+        owned = [s.owned_instr_ids for s in shards]
+        assert set().union(*owned) == all_ids
+        for i in range(count):
+            for j in range(i + 1, count):
+                assert not owned[i] & owned[j]
+        # shards still yield equal-length data (pad kept for batch parity)
+        assert len({len(s.data) for s in shards}) == 1
+
     def test_shuffle_seeded(self, fixture_root):
         anno = os.path.join(fixture_root, "AVDN", "annotations")
         a = ANDHDataset(anno, ["train"], 2, seed=5)

@@ -95,6 +95,16 @@ class TestSetupRuntime:
         rt = setup_runtime(batch_size=8)
         assert rt.n_dp == 2
 
+    def test_env_cap_below_world_size_names_the_cap(self, monkeypatch):
+        """When AVDN_DP_DEVICES (not divisibility) blocks --world_size, the
+        error must name the cap — '4 does not divide 8' would be false."""
+        from avdn_tpu.config import Args
+        from avdn_tpu.parallel import setup_runtime
+
+        monkeypatch.setenv("AVDN_DP_DEVICES", "2")
+        with pytest.raises(ValueError, match="AVDN_DP_DEVICES"):
+            setup_runtime(Args(world_size=4, batch_size=8))
+
 
 class TestCompileSynced:
     def test_caches_by_shape_and_recompiles_on_change(self):

@@ -88,3 +88,35 @@ class TestNavigator:
         assert len(preds) == 1
         rec = next(iter(preds.values()))
         assert len(rec["path_corners"]) >= 1
+
+    def test_explicit_empty_gt_path_corners(self, trained):
+        """An item with an EXPLICIT empty gt_path_corners list (natural for
+        no-GT requests) must fall back to start_corners — not batch an empty
+        list into all-zero start corners and silently navigate from (0,0)."""
+        from avdn_tpu.serve import Navigator
+
+        root, out, cfg_path, targs = trained
+        args = make_args(root, out, cfg_path)
+        nav = Navigator(args, serve_batch=2)
+        anno = os.path.join(root, "AVDN", "annotations", "val_seen_data.json")
+        raw = json.load(open(anno))[0]
+        item = dict(raw, route_index="98_1", gt_path_corners=[],
+                    attention_list=[],
+                    start_corners=raw["gt_path_corners"][0])
+        preds = nav.navigate([item])
+        corners0, _ = next(iter(preds.values()))["path_corners"][0]
+        want = np.asarray(raw["gt_path_corners"][0], np.float64)
+        start_gps = np.asarray(corners0) + np.asarray(
+            [raw["gps_botm_left"]])  # path corners are gps-offset records
+        # the start view must be the provided start_corners, not zeros
+        assert np.abs(start_gps - want).max() < 1e-6
+
+    def test_resume_file_latest_sentinel(self, trained):
+        """--resume_file latest resolves to the newest latest_dict_* in this
+        run's ckpt dir (same sentinel the production train loop honors)."""
+        from avdn_tpu.serve import Navigator
+
+        root, out, cfg_path, targs = trained
+        args = make_args(root, out, cfg_path, resume_file="latest")
+        nav = Navigator(args, serve_batch=2)
+        assert "latest_dict_" in nav.args.resume_file
