@@ -14,7 +14,7 @@ DP groups on-slice so the gradient all-reduce rides ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

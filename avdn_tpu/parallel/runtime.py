@@ -25,7 +25,6 @@ an awkward batch just uses fewer chips rather than erroring.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from typing import Any, Optional
 

@@ -23,7 +23,6 @@ Semantics preserved from the reference (each deliberate, see inline refs):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -24,7 +24,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from avdn_tpu.config import Args, postprocess_args
+from avdn_tpu.config import Args
 
 
 class Navigator:
@@ -37,7 +37,6 @@ class Navigator:
 
     def __init__(self, args: Args, serve_batch: Optional[int] = None):
         import jax
-        import jax.numpy as jnp
 
         from avdn_tpu.data.batcher import make_train_batch  # noqa: F401
         from avdn_tpu.data.maps import DeviceMapBank

@@ -11,7 +11,7 @@ and the same best-by-SPL policy (train.loop).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np

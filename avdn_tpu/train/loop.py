@@ -51,7 +51,6 @@ from avdn_tpu.models.et import ETConfig
 from avdn_tpu.models.lstm import LSTMConfig, init_lstm_state
 from avdn_tpu.train.step import (
     TrainConfig,
-    TrainBatch,
     create_train_state,
     make_train_step,
     make_eval_rollout,

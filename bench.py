@@ -16,8 +16,11 @@ publish no throughput; we use a 4 episodes/sec estimate for a modern GPU
 which is generous to the reference. ``vs_baseline`` is measured/4.0.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the eval
-headline) plus auxiliary keys ``train_episodes_per_sec`` and the measured
-shapes.
+headline) plus auxiliary keys ``train_episodes_per_sec``, the measured
+shapes, per-path MFU, the serving and fast-train recipe points
+(``AVDN_BENCH_SERVING=0`` / ``AVDN_BENCH_TRAIN_FAST=0`` to skip), and the
+HAA-LSTM family eval when ``AVDN_BENCH_LSTM=1`` (opt-in; measured 106.7 /
+519.4 eps/s exact/two-pass — see PERF.md "HAA-LSTM family").
 """
 
 import json
@@ -86,7 +89,8 @@ def _enable_compile_cache():
 
 
 def bench_eval(twopass: bool = False, batch_size: int = BATCH,
-               bf16: bool = False, crop: int = 512, teacher: bool = False):
+               bf16: bool = False, crop: int = 512, teacher: bool = False,
+               family: str = "et"):
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -95,7 +99,7 @@ def bench_eval(twopass: bool = False, batch_size: int = BATCH,
 
     world, cfg, (bert, dk, et), state, batch = g._flagship(
         batch_size=batch_size, map_px=1024, max_action_len=EVAL_T, seed=0,
-        bf16=bf16,
+        bf16=bf16, family=family,
     )
     if twopass:
         cfg = dataclasses.replace(cfg, render_twopass=True, render_crop=crop)
@@ -236,6 +240,16 @@ def main():
                 out["train_fast_mfu_pct_v5e_bf16_peak"] = _mfu(tf)
         except Exception as e:  # pragma: no cover
             out["train_fast_bench_error"] = repr(e)[:200]
+    if os.environ.get("AVDN_BENCH_LSTM") == "1":
+        # opt-in (extra cold compiles): the second model family, HAA-LSTM,
+        # same eval flow (recurrent cell instead of full-history trunk)
+        try:
+            lv = bench_eval(family="lstm")
+            out["lstm_eval_episodes_per_sec"] = round(lv["eps"], 2)
+            lv2 = bench_eval(family="lstm", twopass=True)
+            out["lstm_eval_twopass_episodes_per_sec"] = round(lv2["eps"], 2)
+        except Exception as e:  # pragma: no cover
+            out["lstm_bench_error"] = repr(e)[:200]
     for tag, r in (("eval", ev), ("eval_twopass", ev2),
                    ("ha_eval_twopass", ha), ("train", tr)):
         if r.get("model_flops_per_sec"):
