@@ -300,6 +300,16 @@ def rollout(
             prog_stop = prog_clip
             thresh = cfg.stop_threshold
 
+        # The simulator transition is NOT part of the reference's autodiff
+        # graph: actions are detached to host numpy before the env step
+        # (agent.py:724-755), so step t's loss never backprops into step
+        # t-1's action through the next view/oracle. Detaching here matches
+        # that semantics exactly AND removes the (useless) backward through
+        # render/dynamics/oracle in student-forced training.
+        act_wp = jax.lax.stop_gradient(act_wp)
+        act_alt = jax.lax.stop_gradient(act_alt)
+        prog_stop = jax.lax.stop_gradient(prog_stop)
+
         stop_now, new_corners, new_dirs = dynamics_update(
             corners, directions, act_wp, act_alt, prog_stop, thresh, t, T,
             batch.extent,

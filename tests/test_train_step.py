@@ -268,3 +268,46 @@ class TestDataParallel:
         for x, y in zip(a, b):
             # sharded all-reduce changes summation order; tiny float drift ok
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-4)
+
+
+class TestDetachedSimulatorFeedback:
+    def test_student_grads_do_not_flow_through_simulator(self, monkeypatch):
+        """The reference detaches actions to host numpy before the env step
+        (agent.py:724-755): step t's loss never backprops into step t-1's
+        action through the next view/oracle. The engine must match — so the
+        one-step update must be IDENTICAL when the whole simulator
+        transition is additionally wrapped in stop_gradient. (Before the
+        round-3 fix, grads leaked through the un-rounded move distance
+        ``a_dist = |wp|·half_edge`` into render/oracle of later steps.)"""
+        import avdn_tpu.rollout.engine as engine
+
+        world, cfg, (bert, dk, vln), state, batch = build_tiny(
+            "et", batch_size=2, seed=3, max_action_len=3
+        )
+        bank = jnp.asarray(world.map_bank)
+        rng = jax.random.PRNGKey(11)
+
+        step_fn = jax.jit(make_train_step(cfg, bert, dk, vln))
+        s_real, m_real = step_fn(state, bank, batch, rng)
+
+        orig = engine.dynamics_update
+
+        def fully_detached(corners, directions, act_wp, act_alt, prog_stop,
+                           thresh, t, T, extent):
+            args = jax.lax.stop_gradient(
+                (corners, directions, act_wp, act_alt, prog_stop, extent))
+            return orig(args[0], args[1], args[2], args[3], args[4],
+                        thresh, t, T, args[5])
+
+        monkeypatch.setattr(engine, "dynamics_update", fully_detached)
+        step_fn2 = jax.jit(make_train_step(cfg, bert, dk, vln))
+        s_det, m_det = step_fn2(state, bank, batch, rng)
+
+        assert float(m_real["loss"]) == pytest.approx(
+            float(m_det["loss"]), abs=0)  # forward identical by construction
+        for name in ("bert_params", "darknet_params", "vln_params"):
+            a = jax.tree_util.tree_leaves(getattr(s_real, name))
+            b = jax.tree_util.tree_leaves(getattr(s_det, name))
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=0, atol=1e-6)
