@@ -195,23 +195,45 @@ def _mfu(r):
 
 
 def main():
+    # Every measurement is individually guarded: the driver records this
+    # script's single JSON line as the round's benchmark — one failing
+    # path (cold-compile OOM, backend hiccup) must degrade the report,
+    # never lose it. The headline falls back exact → two-pass → error row.
     _enable_compile_cache()
-    ev = bench_eval()
-    ev2 = bench_eval(twopass=True)
-    ha = bench_eval(twopass=True, teacher=True)
-    tr = bench_train()
+
+    def _try(fn, *a, **k):
+        try:
+            return fn(*a, **k), None
+        except Exception as e:  # pragma: no cover - exercised via mocks
+            return None, repr(e)[:200]
+
+    ev, ev_err = _try(bench_eval)
+    ev2, ev2_err = _try(bench_eval, twopass=True)
+    ha, ha_err = _try(bench_eval, twopass=True, teacher=True)
+    tr, tr_err = _try(bench_train)
+    headline = ev or ev2
     out = {
         # headline stays the exact-parity mode; fast modes are aux
         "metric": "episodes_per_sec_et_eval_rollout",
-        "value": round(ev["eps"], 2),
+        "value": round(headline["eps"], 2) if headline else 0.0,
         "unit": "episodes/s",
-        "vs_baseline": round(ev["eps"] / REFERENCE_EPISODES_PER_SEC, 2),
-        "eval_twopass_episodes_per_sec": round(ev2["eps"], 2),
-        "ha_eval_twopass_episodes_per_sec": round(ha["eps"], 2),
-        "train_episodes_per_sec": round(tr["eps"], 2),
+        "vs_baseline": round(headline["eps"] / REFERENCE_EPISODES_PER_SEC, 2)
+        if headline else 0.0,
         "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
         "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",
     }
+    if ev is None and ev2 is not None:
+        out["headline_note"] = "exact eval failed; headline is two-pass mode"
+    if ev2 is not None:
+        out["eval_twopass_episodes_per_sec"] = round(ev2["eps"], 2)
+    if ha is not None:
+        out["ha_eval_twopass_episodes_per_sec"] = round(ha["eps"], 2)
+    if tr is not None:
+        out["train_episodes_per_sec"] = round(tr["eps"], 2)
+    for tag, err in (("eval", ev_err), ("eval_twopass", ev2_err),
+                     ("ha_eval", ha_err), ("train", tr_err)):
+        if err:
+            out[f"{tag}_bench_error"] = err
     # MFU: model FLOPs (XLA cost analysis of one compiled call) / wall time,
     # as a share of the v5e bf16 MXU peak (197 TFLOP/s). The exact-parity
     # eval computes in fp32, so its ceiling is below 100% by construction.
@@ -252,7 +274,7 @@ def main():
             out["lstm_bench_error"] = repr(e)[:200]
     for tag, r in (("eval", ev), ("eval_twopass", ev2),
                    ("ha_eval_twopass", ha), ("train", tr)):
-        if r.get("model_flops_per_sec"):
+        if r and r.get("model_flops_per_sec"):
             out[f"{tag}_model_tflops_per_sec"] = round(
                 r["model_flops_per_sec"] / 1e12, 2)
             out[f"{tag}_mfu_pct_v5e_bf16_peak"] = _mfu(r)
