@@ -61,8 +61,12 @@ class Args:
     train_val_on_full: bool = False
     # eval.ai submission
     submit: bool = False
-    # optimisation
-    optim: str = "rms"
+    # optimisation. Default deviates from the reference parser's "rms"
+    # (parser.py:81) because the reference itself hard-asserts
+    # ``optim in ("adam", "adamW")`` (agent.py:152) — its default is
+    # unusable; every shipped script passes adamW (run_et_haa.sh). We keep
+    # the assert (train_config_from_args) and make the default runnable.
+    optim: str = "adamW"
     lr: float = 1e-5
     feedback: str = "student"
     # family (framework-native)

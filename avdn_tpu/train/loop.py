@@ -173,11 +173,19 @@ def resolve_render_crop(args: Args) -> Args:
 
 
 def train_config_from_args(args: Args) -> TrainConfig:
+    # the reference hard-asserts the optimizer choice (agent.py:152); a
+    # typo'd --optim must fail loudly, never silently train with another one
+    if args.optim not in ("adam", "adamW"):
+        raise ValueError(
+            f"--optim {args.optim!r} is not supported: the reference asserts "
+            "optim in ('adam', 'adamW') (src/xview_et/agent.py:152) and so "
+            "do we"
+        )
     return TrainConfig(
         family=args.family,
         feedback=args.feedback,
         lr=args.lr,
-        optim=args.optim if args.optim in ("adam", "adamW") else "adamW",
+        optim=args.optim,
         ml_weight=args.ml_weight,
         teacher_weight=args.teacher_weight,
         nss_w=args.nss_w,

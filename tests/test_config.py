@@ -46,6 +46,29 @@ def test_train_val_on_full_scales_horizon(tmp_path, monkeypatch):
     assert args.max_gt_len == 12 * 4 + 1
 
 
+def test_unknown_optim_is_a_hard_error(tmp_path, monkeypatch):
+    # the reference asserts optim in ("adam", "adamW") (agent.py:152); a
+    # typo'd --optim must fail, never silently coerce (PARITY.md #10)
+    import pytest
+
+    from avdn_tpu.train.loop import train_config_from_args
+
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o", "--optim", "sgd"])
+    with pytest.raises(ValueError, match="sgd"):
+        train_config_from_args(args)
+    # the reference parser's own default "rms" is equally rejected there
+    args = parse_args(["--output_dir", "o", "--optim", "rms"])
+    with pytest.raises(ValueError, match="rms"):
+        train_config_from_args(args)
+    for ok in ("adam", "adamW"):
+        cfg = train_config_from_args(parse_args(["--output_dir", "o",
+                                                 "--optim", ok]))
+        assert cfg.optim == ok
+    # our default is runnable (deviation: reference default is not)
+    assert parse_args(["--output_dir", "o"]).optim == "adamW"
+
+
 def test_family_flag(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     args = parse_args(["--output_dir", "o"], family="lstm")
