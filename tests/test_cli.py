@@ -1,6 +1,10 @@
 """CLI surface test: invoke the module entry point exactly as the run
 scripts do (reference flag names, values-style booleans)."""
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import json
 import os
 import subprocess

@@ -7,6 +7,10 @@ batch sharding spans all devices, and (b) metrics match a single-device run
 (the reference driver merely initialises distributed mode and then trains
 unsynced replicas, src/xview_et/main.py:294-304 / SURVEY §2.2)."""
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import json
 import os
 

@@ -1,6 +1,10 @@
 """End-to-end driver test: a tiny full training run through the CLI config →
 dataset → map bank → train loop → eval → checkpoints, on fixture data."""
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import json
 import os
 

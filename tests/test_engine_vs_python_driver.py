@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 from avdn_tpu.data.synthetic import synthetic_world
 from avdn_tpu.rollout import RolloutConfig, rollout, RGB_MEAN, RGB_STD
 from avdn_tpu.rollout.engine import _corners_to_img

@@ -9,6 +9,10 @@ claim for both families, train and eval, and for the train-step dispatch.
 
 import dataclasses
 
+import pytest
+
+pytestmark = pytest.mark.compile  # full grad compiles, minutes each (tiered suite)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -12,6 +12,10 @@ Regenerate intentionally with ``AVDN_UPDATE_GOLDEN=1 pytest
 tests/test_golden_regression.py`` and review the diff like a code change.
 """
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import json
 import os
 

@@ -2,6 +2,10 @@
 measurably better at predicting oracle progress/waypoints (the training
 signal actually flows end-to-end through render → darknet → ET → losses)."""
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import numpy as np
 import jax
 import jax.numpy as jnp

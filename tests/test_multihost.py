@@ -20,6 +20,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.multiproc  # spawns jax processes (tiered suite, README)
+
 _WORKER = r"""
 import os, sys
 import numpy as np

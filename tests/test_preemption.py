@@ -6,6 +6,10 @@ on SIGTERM and exits cleanly so ``--resume_file latest`` continues from the
 exact step (avdn_tpu/utils/preemption.py).
 """
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import os
 import signal
 import time

@@ -2,6 +2,10 @@
 inference without the eval harness. The reference has no serving surface at
 all (inference requires the full main.py machinery, main.py:253-288)."""
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import json
 import os
 

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.compile  # full grad compiles, minutes each (tiered suite)
+
 from avdn_tpu.data.synthetic import synthetic_world
 from avdn_tpu.models import (
     BertConfig,

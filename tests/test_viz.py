@@ -1,5 +1,9 @@
 """Visualisation smoke tests on fixture data."""
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # spawns the CLI tool end-to-end (tiered suite)
+
 import os
 import subprocess
 import sys
