@@ -117,6 +117,45 @@ def bert_params_from_torch(sd: Dict[str, np.ndarray], num_layers: int = 12):
     return {"params": p}
 
 
+def hf_bert_params_from_torch(sd: Dict[str, np.ndarray], num_layers: int = 12,
+                              head_params=None):
+    """Map a RAW HuggingFace ``bert-base-uncased`` state dict onto
+    ``BertLanguageEncoder`` — the way the reference initialises its language
+    tower for from-scratch training
+    (``AutoModel.from_pretrained('bert-base-uncased')``,
+    src/models/vln_model.py:131), where the extra 768→64→49 head starts
+    RANDOM and only the BERT body is pretrained.
+
+    Accepts both released layouts:
+
+    * ``BertForPreTraining``-style ``pytorch_model.bin``: keys prefixed
+      ``bert.`` (plus ``cls.*`` prediction heads, ignored);
+    * bare ``BertModel.state_dict()``: keys like
+      ``embeddings.word_embeddings.weight`` with no prefix.
+
+    ``head_params``: the freshly initialised ``cls_head`` subtree to keep
+    (pass the one from ``model.init``); defaults to zeros-shaped from the
+    checkpoint dims only if omitted — callers in the training path always
+    pass their random init, matching the reference's random head.
+    """
+    if any(k.startswith("bert.") for k in sd):
+        body = {k: v for k, v in sd.items() if k.startswith("bert.")}
+    else:
+        body = {"bert." + k: v for k, v in sd.items()}
+    # reuse the CustomBERTModel mapping with a synthetic (temporary) head,
+    # then swap the head for the caller's fresh init
+    d_model = np.asarray(body["bert.pooler.dense.weight"]).shape[0]
+    body = dict(body)
+    body.setdefault("linears.0.weight", np.zeros((64, d_model), np.float32))
+    body.setdefault("linears.0.bias", np.zeros((64,), np.float32))
+    body.setdefault("linears.3.weight", np.zeros((49, 64), np.float32))
+    body.setdefault("linears.3.bias", np.zeros((49,), np.float32))
+    out = bert_params_from_torch(body, num_layers=num_layers)
+    if head_params is not None:
+        out["params"]["cls_head"] = head_params
+    return out
+
+
 # ------------------------------------------------------------- Darknet ----
 
 

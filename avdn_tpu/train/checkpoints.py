@@ -133,6 +133,24 @@ def import_reference_agent(path: str, family: str, darknet_blocks,
     return bert_vars, dk_vars, vln_vars, epoch
 
 
+def import_bert_pretrain(path: str, num_layers: int = 12, head_params=None):
+    """Import a raw HuggingFace BERT checkpoint (``pytorch_model.bin`` /
+    bare ``BertModel`` state dict) for from-scratch training — the
+    reference's language-tower init
+    (``AutoModel.from_pretrained('bert-base-uncased')``,
+    src/models/vln_model.py:131). The 768→64→49 head stays at the caller's
+    fresh ``head_params`` (the reference's head is random too)."""
+    from avdn_tpu.compat.torch_import import (
+        load_reference_checkpoint,
+        hf_bert_params_from_torch,
+    )
+
+    blob = load_reference_checkpoint(path)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    return hf_bert_params_from_torch(sd, num_layers=num_layers,
+                                     head_params=head_params)
+
+
 def import_darknet_pretrain(path: str, darknet_blocks):
     """Import the released YOLO pretrain ``best.pt`` (``{'model': sd}``)
     with key filtering like the reference (src/xview_et/agent.py:136-141)."""

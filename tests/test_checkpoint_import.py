@@ -13,7 +13,11 @@ from avdn_tpu.models import (
     BertConfig, BertLanguageEncoder, Darknet, DarknetConfig, HAATransformer,
 )
 from avdn_tpu.models.et import ETConfig
-from avdn_tpu.train.checkpoints import import_reference_agent, import_darknet_pretrain
+from avdn_tpu.train.checkpoints import (
+    import_bert_pretrain,
+    import_darknet_pretrain,
+    import_reference_agent,
+)
 
 DEMB = 64
 HEADS = 4
@@ -123,6 +127,93 @@ def test_full_agent_import_and_forward(tmp_path):
     assert act.shape == (1, 4)
     assert sal.shape == (1, 224, 224)
     assert np.isfinite(np.asarray(act)).all()
+
+
+@pytest.mark.parametrize("layout", ["bare", "prefixed"])
+def test_bert_pretrain_import(tmp_path, layout):
+    """Raw HF BERT checkpoint → language-tower init for from-scratch
+    training (the reference's from_pretrained('bert-base-uncased'),
+    vln_model.py:131). Both released layouts: a bare ``BertModel`` state
+    dict and a ``bert.``-prefixed ``pytorch_model.bin`` (whose ``cls.*``
+    pretraining heads must be ignored). Numeric parity is checked against
+    the actual transformers forward; the 64/49 head must stay at the
+    caller's fresh random init (the reference's head is random too)."""
+    from transformers import BertModel, BertConfig as HFBertConfig
+
+    torch.manual_seed(7)
+    hf_cfg = HFBertConfig(
+        vocab_size=1024, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=256,
+        max_position_embeddings=128, attn_implementation="eager",
+    )
+    m = BertModel(hf_cfg)
+    m.eval()
+    sd = m.state_dict()
+    if layout == "prefixed":
+        sd = {("bert." + k): v for k, v in sd.items()}
+        # pretraining heads present in pytorch_model.bin — must be ignored
+        sd["cls.predictions.decoder.weight"] = torch.zeros(1024, 128)
+        sd["cls.predictions.bias"] = torch.zeros(1024)
+    path = str(tmp_path / "pytorch_model.bin")
+    torch.save(sd, path)
+
+    ours = BertLanguageEncoder(BertConfig.tiny())
+    ids = (np.arange(24, dtype=np.int32)[None, :] % 1000) + 1
+    mask = np.ones_like(ids)
+    fresh = ours.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                      jnp.asarray(mask))
+    fresh_head = fresh["params"]["cls_head"]
+
+    vars_in = import_bert_pretrain(path, num_layers=2,
+                                   head_params=fresh_head)
+    seq, head49, pooled = ours.apply(vars_in, jnp.asarray(ids),
+                                     jnp.asarray(mask), deterministic=True)
+
+    with torch.no_grad():
+        out = m(torch.from_numpy(ids.astype(np.int64)),
+                torch.from_numpy(mask.astype(np.int64)))
+    np.testing.assert_allclose(np.asarray(seq), out.last_hidden_state.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pooled), out.pooler_output.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    # the head is the fresh random init, untouched
+    for lname in ("dense_0", "dense_1"):
+        np.testing.assert_array_equal(
+            np.asarray(vars_in["params"]["cls_head"][lname]["kernel"]),
+            np.asarray(fresh_head[lname]["kernel"]))
+    assert np.isfinite(np.asarray(head49)).all()
+
+
+def test_bert_pretrain_flag_wires_into_training_init(tmp_path, monkeypatch):
+    """--bert_weight_file initialises the language tower inside
+    train/loop.init_state (symmetric to --darknet_weight_file)."""
+    from transformers import BertModel, BertConfig as HFBertConfig
+
+    from avdn_tpu.config import Args, postprocess_args
+    from avdn_tpu.train.loop import (
+        build_models, init_state, train_config_from_args,
+    )
+
+    torch.manual_seed(11)
+    m = BertModel(HFBertConfig(
+        vocab_size=1024, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=256,
+        max_position_embeddings=128))
+    path = str(tmp_path / "pytorch_model.bin")
+    torch.save(m.state_dict(), path)
+
+    monkeypatch.chdir(tmp_path)
+    args = postprocess_args(Args(
+        output_dir=str(tmp_path / "o"), demb=128, bert_layers=2,
+        encoder_heads=4, encoder_layers=1, max_instr_len=16,
+        bert_weight_file=path, optim="adamW",
+    ))
+    cfg = train_config_from_args(args)
+    bert, dk, vln = build_models(args)
+    state = init_state(args, bert, dk, vln, cfg, jax.random.PRNGKey(0))
+    want = m.state_dict()["embeddings.word_embeddings.weight"].numpy()
+    got = np.asarray(state.bert_params["word_embeddings"]["embedding"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_darknet_pretrain_import(tmp_path):
