@@ -43,6 +43,7 @@ class Args:
     nss_r: int = 0
     darknet_model_file: Optional[str] = None
     darknet_weight_file: Optional[str] = None
+    bert_weight_file: Optional[str] = None
     bert_vocab_file: Optional[str] = None
     # ET
     demb: int = 768
@@ -73,8 +74,12 @@ class Args:
     family: str = "et"
     bf16: bool = False  # bfloat16 compute in the model towers (fp32 params)
     render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
-    render_twopass: bool = False  # full-res 2-pass MXU warp (PERF.md)
-    render_crop: int = 512  # 2-pass source window, >= max view edge in px
+    # Tristate: None (default) = two-pass MXU warp for EVAL/SERVING, exact
+    # gather for TRAIN (the shipped configuration — metric equivalence is
+    # golden-gated, tests/test_render_mode_goldens.py); True/False forces
+    # both paths. --render_twopass False restores strict cv2 eval parity.
+    render_twopass: Optional[bool] = None
+    render_crop: int = 0  # 2-pass source window px; 0 = auto from dataset
     render_bf16: bool = True  # bf16 two-pass warp einsums (fp32 for parity)
     fold_bn_eval: bool = True  # fold BN + input norm into eval conv weights
     profile_dir: Optional[str] = None  # capture a jax profiler trace here
@@ -130,6 +135,11 @@ _HELP = {
     "nss_w": "saliency NSS loss weight (student phase)",
     "darknet_model_file": "darknet .cfg (default: generated darknet-53 tower)",
     "darknet_weight_file": "YOLO pretrain best.pt to import",
+    "bert_weight_file": "raw HF bert-base-uncased checkpoint "
+                        "(pytorch_model.bin or a bare BertModel state dict) "
+                        "to initialise the language tower for from-scratch "
+                        "training (reference vln_model.py:131); the 64/49 "
+                        "head stays at its fresh random init",
     "bert_vocab_file": "bert-base-uncased vocab.txt for exact token parity",
     "feedback": "'student' (teacher+student double rollout) or 'teacher'",
     "train_val_on_full": "full-trajectory mode: stitch dialog rounds into one episode",
@@ -137,8 +147,12 @@ _HELP = {
     "family": "'et' (HAA-Transformer) or 'lstm' (HAA-LSTM)",
     "bf16": "bfloat16 tower compute (fp32 params); opt-in speed mode",
     "render_subsample": ">1: low-res warp + upscale (fastest render)",
-    "render_twopass": "full-res 2-pass MXU warp, ~5-9x the exact render",
-    "render_crop": "2-pass source window in px; 0 = auto-size from dataset",
+    "render_twopass": "full-res 2-pass MXU warp, ~5x the exact render. "
+                      "Default (unset): two-pass for eval/serving, exact "
+                      "for train; pass True/False to force both paths "
+                      "(False = strict cv2 parity everywhere)",
+    "render_crop": "2-pass source window in px; 0 (default) = auto-size "
+                   "from the dataset annotations",
     "render_bf16": "two-pass warp in bfloat16 (default); False = tighter fp32",
     "fold_bn_eval": "fold eval-mode BatchNorm + input normalisation into the "
                     "conv weights (inference transform; same math)",

@@ -263,6 +263,24 @@ def _round_up(n: int, q: int) -> int:
     return -(-n // q) * q
 
 
+_MAX_VIEW_EDGE_M = 400.0  # altitude cap (reference agent.py:285-384 zoom clamp)
+_DEG_TO_M = 11.13e4       # reference env.py metre conversion
+
+
+def auto_render_crop(min_lat_ratio: float) -> int:
+    """Crop window (px) guaranteed to contain ANY view the dynamics can
+    produce on a map with ``lat_ratio >= min_lat_ratio``: the largest view
+    edge is 400 m (the altitude cap); its rotated bounding box spans
+    edge·√2. Rounded up to a multiple of 64 (TPU lane tiling) with a small
+    bilinear-tap border margin. One formula shared by the training driver
+    (annotation-derived) and the benchmarks (synthetic-world lat_ratio)."""
+    import math
+
+    edge_px = _MAX_VIEW_EDGE_M / (min_lat_ratio * _DEG_TO_M)
+    need = edge_px * math.sqrt(2.0) + 4
+    return max(256, _round_up(int(math.ceil(need)), 64))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("out_hw", "round_corners", "crop_hw", "chunk", "bf16",

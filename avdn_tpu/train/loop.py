@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from typing import Dict, Optional
 
@@ -103,6 +104,15 @@ def init_state(args: Args, bert, darknet, vln, cfg: TrainConfig, rng):
     bert_vars = bert.init(
         ks[0], jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
     )
+    if args.bert_weight_file and os.path.exists(args.bert_weight_file):
+        # pretrained language-tower init, like the reference's
+        # from_pretrained('bert-base-uncased') (vln_model.py:131); the
+        # 64/49 head keeps the fresh random init above (reference parity)
+        bert_vars = ckpt.import_bert_pretrain(
+            args.bert_weight_file, num_layers=args.bert_layers,
+            head_params=bert_vars["params"]["cls_head"],
+        )
+        print(f"Loaded BERT pretrain from {args.bert_weight_file}")
     dk_vars = darknet.init(ks[1], jnp.zeros((1, 224, 224, 3)), train=False)
     if args.darknet_weight_file and os.path.exists(args.darknet_weight_file):
         dk_vars = ckpt.import_darknet_pretrain(
@@ -132,16 +142,11 @@ def init_state(args: Args, bert, darknet, vln, cfg: TrainConfig, rng):
     return create_train_state(cfg, bert_vars, dk_vars, vln_vars)
 
 
-_MAX_VIEW_EDGE_M = 400.0  # altitude cap (agent.py:285-384 zoom clamp)
-_DEG_TO_M = 11.13e4
-
-
 def _auto_render_crop(anno_dir: str, splits) -> int:
-    """Derive the two-pass warp crop from the dataset: the largest possible
-    view edge is 400 m; its rotated bounding box spans edge·√2. Rounded up
-    to a multiple of 64 with a small border margin. Scans the raw JSON for
-    ``lat_ratio`` only (no full annotation normalisation)."""
-    import math
+    """Derive the two-pass warp crop from the dataset (shared formula:
+    sim/warp2pass.auto_render_crop over the finest ``lat_ratio``). Scans the
+    raw JSON for ``lat_ratio`` only (no full annotation normalisation)."""
+    from avdn_tpu.sim.warp2pass import auto_render_crop
 
     lats = []
     for split in splits:
@@ -152,21 +157,38 @@ def _auto_render_crop(anno_dir: str, splits) -> int:
             lats.extend(it["lat_ratio"] for it in json.load(f))
     if not lats:
         return 512
-    edge_px = _MAX_VIEW_EDGE_M / (min(lats) * _DEG_TO_M)
-    need = edge_px * math.sqrt(2.0) + 4
-    return max(256, int(-(-need // 64) * 64))
+    return auto_render_crop(min(lats))
+
+
+def train_render_twopass(args: Args) -> bool:
+    """Training renders exact (cv2-parity gather) unless --render_twopass
+    True is passed explicitly."""
+    return args.render_twopass is True
+
+
+def eval_render_twopass(args: Args) -> bool:
+    """Eval/serving render with the two-pass MXU warp BY DEFAULT (the
+    shipped configuration — ~5x eval throughput; navigation-metric
+    equivalence vs the exact render is golden-gated in
+    tests/test_render_mode_goldens.py). ``--render_twopass False`` restores
+    the strict cv2-parity gather."""
+    return args.render_twopass is not False
 
 
 def resolve_render_crop(args: Args) -> Args:
     """``--render_crop 0`` → auto-size from the annotations of EVERY split
     the run touches (a val map with finer lat_ratio needs a larger window
     than any train map)."""
-    if args.render_twopass and args.render_crop == 0:
+    twopass_any = train_render_twopass(args) or eval_render_twopass(args)
+    if twopass_any and args.render_crop == 0:
         splits = ["train", "val_seen", "val_unseen"]
         if args.submit:
             splits.append("test_unseen")
         args.render_crop = _auto_render_crop(args.train_anno_dir, splits)
-        print(f"render_crop auto-derived: {args.render_crop}px")
+        # stderr: tools that print a one-line JSON result to stdout
+        # (tools/bench_serving.py, bench.py) load the driver too
+        print(f"render_crop auto-derived: {args.render_crop}px",
+              file=sys.stderr)
     elif args.render_crop == 0:
         args.render_crop = 512
     return args
@@ -198,7 +220,7 @@ def train_config_from_args(args: Args) -> TrainConfig:
         vision_only=args.vision_only,
         no_direction=args.no_direction,
         render_subsample=args.render_subsample,
-        render_twopass=args.render_twopass,
+        render_twopass=train_render_twopass(args),
         render_crop=args.render_crop,
         render_bf16=args.render_bf16,
         fold_bn_eval=args.fold_bn_eval,
@@ -209,6 +231,16 @@ def train_config_from_args(args: Args) -> TrainConfig:
         fast_eval_trunk=args.fast_eval_trunk,
         et_decode_trunk=args.et_decode_trunk,
     )
+
+
+def eval_config_from_args(args: Args) -> TrainConfig:
+    """The eval/serving-side config: identical to the train config except
+    the render mode, which defaults to the two-pass MXU warp (the shipped
+    eval default — see :func:`eval_render_twopass`)."""
+    import dataclasses
+
+    return dataclasses.replace(train_config_from_args(args),
+                               render_twopass=eval_render_twopass(args))
 
 
 def batcher_config(args: Args) -> BatcherConfig:
@@ -536,12 +568,13 @@ def train(args: Args):
         from avdn_tpu.parallel.runtime import CompileSynced
 
         train_step = CompileSynced(train_step, "train_step")
-    eval_student = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+    ecfg = eval_config_from_args(args)  # eval default: two-pass render
+    eval_student = jax.jit(make_eval_rollout(ecfg, bert, darknet, vln,
                                              teacher=False))
-    eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+    eval_teacher = jax.jit(make_eval_rollout(ecfg, bert, darknet, vln,
                                              teacher=True, collect_ha=True))
     eval_student_test = (
-        jax.jit(make_eval_rollout(cfg, bert, darknet, vln, teacher=False,
+        jax.jit(make_eval_rollout(ecfg, bert, darknet, vln, teacher=False,
                                   compute_losses=False))
         if args.submit else None
     )
@@ -754,17 +787,18 @@ def valid(args: Args):
         with open(os.path.join(args.log_dir, "validation_args.json"), "w") as f:
             json.dump(vars(args), f, indent=4, default=str)
     _, val_envs = build_dataset(args, runtime)
-    eval_student = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+    ecfg = eval_config_from_args(args)  # eval default: two-pass render
+    eval_student = jax.jit(make_eval_rollout(ecfg, bert, darknet, vln,
                                              teacher=False))
-    eval_teacher = jax.jit(make_eval_rollout(cfg, bert, darknet, vln,
+    eval_teacher = jax.jit(make_eval_rollout(ecfg, bert, darknet, vln,
                                              teacher=True, collect_ha=True))
     eval_teacher_debug = (
-        jax.jit(make_eval_rollout(cfg, bert, darknet, vln, teacher=True,
+        jax.jit(make_eval_rollout(ecfg, bert, darknet, vln, teacher=True,
                                   collect_ha=True, collect_debug=True))
         if args.inference else None
     )
     eval_student_test = (
-        jax.jit(make_eval_rollout(cfg, bert, darknet, vln, teacher=False,
+        jax.jit(make_eval_rollout(ecfg, bert, darknet, vln, teacher=False,
                                   compute_losses=False))
         if args.submit else None
     )

@@ -91,6 +91,10 @@ def main(argv=None):
         feedback="student",
         darknet_model_file=need["yolo_v3.cfg"],
         bert_vocab_file=need["bert vocab.txt"],
+        # strict cv2-parity render: the point of this tool is reproducing
+        # the reference log bit-for-bit-close, not speed (the shipped eval
+        # default is the two-pass warp — PARITY.md)
+        render_twopass=False,
     ))
     valid(args)
 
