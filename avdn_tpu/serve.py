@@ -46,9 +46,9 @@ class Navigator:
         from avdn_tpu.train.loop import (
             batcher_config,
             build_models,
+            eval_config_from_args,
             init_state,
             resolve_render_crop,
-            train_config_from_args,
         )
         from avdn_tpu.train.step import make_eval_rollout
 
@@ -56,7 +56,9 @@ class Navigator:
         self.serve_batch = serve_batch or args.batch_size
         self.runtime = setup_runtime(args, batch_size=self.serve_batch)
         args = resolve_render_crop(args)
-        self.cfg = train_config_from_args(args)
+        # serving uses the EVAL config: two-pass render by default (the
+        # shipped fast mode; --render_twopass False restores cv2 parity)
+        self.cfg = eval_config_from_args(args)
         bert, darknet, vln = build_models(args)
         state = init_state(args, bert, darknet, vln, self.cfg,
                            jax.random.PRNGKey(args.seed))
@@ -142,17 +144,43 @@ class Navigator:
             # serving is per-process: use a local copy (mirrors _eval_env)
             state = jax.device_get(state)
         B = self.serve_batch
-        for lo in range(0, len(items), B):
-            chunk = items[lo : lo + B]
-            while len(chunk) < B:  # pad; dropped via meta["valid"]
-                chunk = chunk + [dict(chunk[0], _pad=True)]
+
+        def _chunks():
+            for lo in range(0, len(items), B):
+                chunk = items[lo : lo + B]
+                while len(chunk) < B:  # pad; dropped via meta["valid"]
+                    chunk = chunk + [dict(chunk[0], _pad=True)]
+                yield chunk
+
+        def _prepare(chunk):
+            """Host batch assembly (GeoTIFF decode, tokenisation, numpy
+            batch build) — on the prefetch thread it overlaps the device
+            rollout of the previous chunk, like the train/eval drivers."""
             bank_arr, slot_of = self.bank.prepare(chunk)
             batch, meta = make_train_batch(chunk, self.tokenizer, slot_of,
                                            self.bcfg)
             if not self.runtime.multiprocess:
                 bank_arr = self.runtime.place_bank(bank_arr)
                 batch = self.runtime.shard_batch(batch)
-            out = jax.device_get(
-                self._rollout(state, bank_arr, batch, self._rng))
-            preds.update(assemble_trajectories(out, meta))
+            return bank_arr, batch, meta
+
+        many = len(items) > B
+        if many:
+            from avdn_tpu.data.prefetch import Prefetcher
+
+            prepared = Prefetcher(_chunks(), _prepare, depth=2)
+        else:  # single chunk: a prefetch thread would only add latency
+            prepared = (_prepare(c) for c in _chunks())
+        pending = None  # (launched device call, meta) — drain one behind
+        for bank_arr, batch, meta in prepared:
+            if pending is not None:
+                out, pmeta = pending
+                preds.update(assemble_trajectories(jax.device_get(out),
+                                                   pmeta))
+            # launch is async; the host returns to assembling/draining
+            pending = (self._rollout(state, bank_arr, batch, self._rng),
+                       meta)
+        if pending is not None:
+            out, pmeta = pending
+            preds.update(assemble_trajectories(jax.device_get(out), pmeta))
         return preds

@@ -17,6 +17,11 @@ Endpoints
     server-assigned one). Records are the :func:`assemble_trajectories`
     dicts with numpy converted to JSON lists.
 
+Error contract: client faults are 4xx — malformed JSON/payload shape or
+invalid items (missing/garbage fields) → 400; bodies over
+``max_body_bytes`` (rejected before reading) or more than ``max_items``
+items → 413. Only dispatcher/device failures return 500.
+
 Concurrency: one compiled rollout program serves everything. Handler
 threads (``ThreadingHTTPServer``) enqueue into a :class:`NavigatorService`,
 whose single dispatcher thread coalesces concurrent small requests into one
@@ -51,6 +56,10 @@ def _jsonable(x):
     if isinstance(x, (np.floating, np.integer, np.bool_)):
         return x.item()
     return x
+
+
+class BadRequest(ValueError):
+    """Client-fault request error (maps to HTTP 400, never 500)."""
 
 
 class _Pending:
@@ -107,13 +116,20 @@ class NavigatorService:
         # cross-wire responses. The original instr_id is restored below.
         tagged, ids = [], []
         for i, raw in enumerate(items):
+            if not isinstance(raw, dict):
+                raise BadRequest(f"item {i}: expected an object, got "
+                                 f"{type(raw).__name__}")
             missing = [k for k in self._REQUIRED if k not in raw]
             if not (raw.get("gt_path_corners")
                     or raw.get("start_corners") is not None):
                 missing.append("start_corners|gt_path_corners")
             if missing:
-                raise ValueError(f"item {i}: missing fields {missing}")
-            it = self.nav._normalize_item(raw)
+                raise BadRequest(f"item {i}: missing fields {missing}")
+            try:
+                it = self.nav._normalize_item(raw)
+            except (ValueError, TypeError, KeyError) as e:
+                # malformed field values are the client's fault too
+                raise BadRequest(f"item {i}: {e!r}") from e
             orig_route = raw.get("route_index")
             it["route_index"] = f"s{seq}x{i}_1"
             tagged.append(it)
@@ -196,6 +212,10 @@ class _Handler(BaseHTTPRequestHandler):
     service: NavigatorService = None
     family: str = "et"
     quiet: bool = True
+    # request caps: a runaway body must never OOM the server thread, and a
+    # giant item list must never monopolise the dispatcher (413 either way)
+    max_body_bytes: int = 32 * 1024 * 1024
+    max_items: int = 1024
 
     def log_message(self, fmt, *a):  # pragma: no cover - noise control
         if not self.quiet:
@@ -227,6 +247,15 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", 0))
+        except (TypeError, ValueError):
+            self._send(400, {"error": "bad request: invalid Content-Length"})
+            return
+        if n > self.max_body_bytes:
+            # reject BEFORE reading: the oversized body is never buffered
+            self._send(413, {"error": f"request body {n} bytes exceeds the "
+                                      f"{self.max_body_bytes}-byte limit"})
+            return
+        try:
             payload = json.loads(self.rfile.read(n) or b"{}")
             items = payload["items"]
             if not isinstance(items, list):
@@ -234,8 +263,16 @@ class _Handler(BaseHTTPRequestHandler):
         except (KeyError, TypeError, ValueError) as e:
             self._send(400, {"error": f"bad request: {e!r}"})
             return
+        if len(items) > self.max_items:
+            self._send(413, {"error": f"{len(items)} items exceeds the "
+                                      f"{self.max_items}-item limit"})
+            return
         try:
             recs = self.service.submit(items)
+        except BadRequest as e:
+            # validation failures are the client's fault, not a server error
+            self._send(400, {"error": str(e)[:500]})
+            return
         except Exception as e:
             self._send(500, {"error": repr(e)[:500]})
             return
@@ -243,12 +280,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def make_server(nav, host: str = "127.0.0.1", port: int = 8080,
-                max_wait_ms: float = 5.0, quiet: bool = True):
+                max_wait_ms: float = 5.0, quiet: bool = True,
+                max_body_bytes: int = 32 * 1024 * 1024,
+                max_items: int = 1024):
     """A ready-to-run ``ThreadingHTTPServer`` over ``nav``. The coalescing
     service is attached as ``server.service`` (close it after shutdown)."""
     service = NavigatorService(nav, max_wait_ms=max_wait_ms)
     handler = type("Handler", (_Handler,), {
         "service": service, "family": nav.args.family, "quiet": quiet,
+        "max_body_bytes": max_body_bytes, "max_items": max_items,
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.service = service
@@ -270,12 +310,18 @@ def main(argv: Optional[List[str]] = None) -> None:
                     help="compiled batch size (0: --batch_size)")
     ap.add_argument("--max_wait_ms", type=float, default=5.0,
                     help="coalescing window after the first queued request")
+    ap.add_argument("--max_body_bytes", type=int, default=32 * 1024 * 1024,
+                    help="reject larger POST bodies with 413 (before reading)")
+    ap.add_argument("--max_items", type=int, default=1024,
+                    help="reject requests with more items with 413")
     ap.add_argument("--family", default="et", choices=["et", "lstm"])
     own, rest = ap.parse_known_args(argv)
     args = parse_args(rest, family=own.family)
     nav = Navigator(args, serve_batch=own.serve_batch or None)
     server = make_server(nav, own.host, own.port,
-                         max_wait_ms=own.max_wait_ms, quiet=False)
+                         max_wait_ms=own.max_wait_ms, quiet=False,
+                         max_body_bytes=own.max_body_bytes,
+                         max_items=own.max_items)
     print(f"avdn_tpu.serve_http: listening on {own.host}:{server.server_port} "
           f"(family={own.family}, serve_batch={nav.serve_batch})", flush=True)
     try:

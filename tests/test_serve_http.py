@@ -2,6 +2,10 @@
 coalescing over the Navigator. No reference analogue (the reference has no
 serving surface, src/xview_et/main.py:253-288 is the closest flow)."""
 
+import pytest
+
+pytestmark = pytest.mark.e2e  # compile-heavy driver flow (tiered suite, README)
+
 import json
 import os
 import threading
@@ -152,10 +156,36 @@ class TestServeHTTP:
         assert code == 400
         code, body = _get(base + "/nothing")
         assert code == 404
-        # a malformed item surfaces as a 500 with the error, not a hang
+        # a malformed item is the CLIENT's fault: 400 (never 500), and the
+        # message names the offending item and fields
         code, body = _post(base + "/navigate",
                            {"items": [{"instructions": "no map fields"}]})
-        assert code == 500 and "error" in body
+        assert code == 400 and "item 0" in body["error"]
+        code, body = _post(base + "/navigate", {"items": [17]})
+        assert code == 400 and "item 0" in body["error"]
+
+    def test_request_caps_413(self, served):
+        """Oversized requests are rejected up front: a huge declared body
+        before any bytes are read, and an over-long item list before any
+        validation/dispatch work."""
+        import http.client
+
+        base, server, root = served
+        host, port = base.split("//")[1].split(":")
+        # declared 100 MB body, nothing actually sent — the server must
+        # answer 413 without waiting for (or buffering) the body
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        conn.putrequest("POST", "/navigate")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(100 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        assert resp.status == 413 and "limit" in body["error"]
+        conn.close()
+        # more items than max_items: 413 before any per-item validation
+        code, body = _post(base + "/navigate", {"items": [{}] * 1025})
+        assert code == 413 and "1025 items" in body["error"]
 
     def test_empty_items_ok(self, served):
         base, server, root = served
