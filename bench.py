@@ -1,26 +1,41 @@
 """Benchmark: closed-loop episode throughput of the flagship HAA-Transformer.
 
-Two measurements, both end-to-end under one jit on the TPU:
+Measurements, all end-to-end under one jit on the TPU:
 
-* **eval**: student-forced eval rollouts (the reference's headline eval flow:
-  BERT ×2 → per-step render → Darknet-53 → ET → dynamics) at batch 16,
-  max_action_len=5 as in the shipped eval config (validation_args.json);
+* **headline (eval, shipped default)**: student-forced eval rollouts exactly
+  as the driver ships them (BERT ×2 → per-step two-pass MXU render →
+  Darknet-53 → ET → dynamics; ``eval_render_twopass`` default + auto
+  render-crop, train/loop.py) at batch 16, max_action_len=5 as in the
+  shipped eval config (validation_args.json). Metric-level equivalence of
+  the two-pass render vs the exact cv2-parity gather is golden-gated
+  (tests/test_render_mode_goldens.py);
+* **eval_exact**: the same flow with ``--render_twopass False`` (strict cv2
+  parity — the mode `tools/repro_valid.py` uses);
 * **train**: full train steps (double rollout teacher+student, 3-way AdamW,
   vln grad-clip) at batch 4, max_action_len=10 as in the shipped train
   config (parser.py --batch_size 4, run_et_haa.sh).
 
-Baseline: the CUDA reference runs the eval loop at batch_size=1 with per-step
-host OpenCV rendering + Shapely geometry (SURVEY.md §3.3). Its shipped logs
-publish no throughput; we use a 4 episodes/sec estimate for a modern GPU
-(≈0.25 s/episode over 5 steps of host-render→H2D→forward→D2H→host-geometry),
-which is generous to the reference. ``vs_baseline`` is measured/4.0.
+Baseline: the CUDA reference runs the eval loop at batch_size=1 with
+per-step host OpenCV rendering + Shapely geometry (SURVEY.md §3.3). Its
+shipped logs publish no throughput; we use a 4 episodes/sec estimate for a
+modern GPU (≈0.25 s/episode over 5 steps of host-render→H2D→forward→D2H→
+host-geometry), which is generous to the reference. ``vs_baseline`` is
+measured/4.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the eval
-headline) plus auxiliary keys ``train_episodes_per_sec``, the measured
-shapes, per-path MFU, the serving and fast-train recipe points
-(``AVDN_BENCH_SERVING=0`` / ``AVDN_BENCH_TRAIN_FAST=0`` to skip), and the
-HAA-LSTM family eval when ``AVDN_BENCH_LSTM=1`` (opt-in; measured 106.7 /
-519.4 eps/s exact/two-pass — see PERF.md "HAA-LSTM family").
+MFU accounting: analytic model FLOPs (avdn_tpu/utils/flops.py — Darknet
+convs from the cfg walk, BERT closed form, ET trunk per (L, T);
+cross-checked against XLA cost_analysis in tests/test_flops.py) divided by
+wall time, as a share of the v5e bf16 MXU peak (197 TFLOP/s). XLA's own
+cost model is NOT used here: it counts while-loop bodies once regardless of
+trip count, so scan paths would under-report by ~T×. The exact-parity paths
+compute in fp32, so their ceiling is below 100% by construction.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (the
+headline) plus ``status`` ("ok" | "degraded" | "error"), ``headline_mode``
+("twopass_default" | "exact_fallback" | "none"), auxiliary throughput/MFU
+keys per path, and the serving and fast-train recipe points
+(``AVDN_BENCH_SERVING=0`` / ``AVDN_BENCH_TRAIN_FAST=0`` to skip;
+``AVDN_BENCH_LSTM=1`` opts into the HAA-LSTM family rows).
 """
 
 import json
@@ -36,6 +51,8 @@ BATCH = 16
 EVAL_T = 5    # shipped eval config (validation_args.json: max_action_len 5)
 TRAIN_BATCH = 4  # shipped train config (parser.py: --batch_size 4)
 TRAIN_T = 10  # shipped train config (parser.py: --max_action_len 10)
+LANG_TOKENS = 24  # synthetic-world token count (__graft_entry__._flagship)
+SYNTH_LAT_RATIO = 2e-5  # synthetic-world deg/px (data/synthetic.py)
 
 
 def _fetch(o):
@@ -60,24 +77,39 @@ def _timed(fn, args, warm_args):
 V5E_PEAK_BF16 = 1.97e14  # TPU v5e per-chip peak FLOP/s (bf16 MXU)
 
 
-def _flops_per_call(jit_fn, args):
-    """Model FLOPs of ONE compiled call from XLA's cost analysis (the loop
-    wrappers can't be used — XLA counts a while-loop body once regardless of
-    trip count). None when the backend exposes no cost model."""
-    try:
-        compiled = jit_fn.lower(*args).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
-    except Exception:
-        return None
+def _default_crop() -> int:
+    """The auto-derived two-pass crop for the synthetic world — the same
+    formula the driver applies to dataset annotations."""
+    from avdn_tpu.sim.warp2pass import auto_render_crop
+
+    return auto_render_crop(SYNTH_LAT_RATIO)
+
+
+def _analytic_flops(*, batch_size: int, T: int, family: str = "et",
+                    one_pass: bool = False, train: bool = False) -> float:
+    """Analytic model FLOPs of one compiled call at flagship config
+    (BERT-base ×2 on LANG_TOKENS, darknet-53 default cfg, ET 768/12h/2L)."""
+    from avdn_tpu.models.bert import BertConfig
+    from avdn_tpu.models.darknet import DarknetConfig
+    from avdn_tpu.models.et import ETConfig
+    from avdn_tpu.models.lstm import LSTMConfig
+    from avdn_tpu.utils import flops as F
+
+    bert, dk = BertConfig(), DarknetConfig.default()
+    vln = ETConfig() if family == "et" else LSTMConfig()
+    if train:
+        return F.train_step_flops(bert, dk, vln, batch_size, T, LANG_TOKENS,
+                                  dialog_len=LANG_TOKENS)
+    return F.eval_rollout_flops(bert, dk, vln, batch_size, T, LANG_TOKENS,
+                                dialog_len=LANG_TOKENS,
+                                one_pass_trunk=one_pass)
 
 
 def _enable_compile_cache():
     """Persistent XLA compile cache — the full train-step grad compile takes
-    ~25 min cold on this backend; cached reruns are seconds."""
+    ~25 min cold on this backend; cached reruns are seconds. Cold/warm
+    numbers + the warmup tool: PERF.md "Cold compile" /
+    ``python -m avdn_tpu.warmup``."""
     import jax
 
     try:
@@ -88,21 +120,27 @@ def _enable_compile_cache():
         pass
 
 
-def bench_eval(twopass: bool = False, batch_size: int = BATCH,
-               bf16: bool = False, crop: int = 512, teacher: bool = False,
-               family: str = "et"):
+def bench_eval(twopass: Optional[bool] = None, batch_size: int = BATCH,
+               bf16: bool = False, crop: Optional[int] = None,
+               teacher: bool = False, family: str = "et"):
+    """One eval-rollout measurement. ``twopass=None`` = the SHIPPED default
+    (two-pass render at the auto-derived crop); False = exact cv2-parity
+    gather; True + ``crop`` = explicit two-pass configuration."""
     import dataclasses
     import jax
     import jax.numpy as jnp
     from avdn_tpu.train import make_eval_rollout
     import __graft_entry__ as g
 
+    if twopass is None:
+        twopass = True
     world, cfg, (bert, dk, et), state, batch = g._flagship(
         batch_size=batch_size, map_px=1024, max_action_len=EVAL_T, seed=0,
         bf16=bf16, family=family,
     )
     if twopass:
-        cfg = dataclasses.replace(cfg, render_twopass=True, render_crop=crop)
+        cfg = dataclasses.replace(cfg, render_twopass=True,
+                                  render_crop=crop or _default_crop())
     # teacher=True is the human-attention eval: time-fused rollout + the
     # one-pass trunk (rollout/fused.py + models/et_fast.py)
     eval_fn = make_eval_rollout(cfg, bert, dk, et, teacher=teacher,
@@ -129,17 +167,15 @@ def bench_eval(twopass: bool = False, batch_size: int = BATCH,
 
         return jax.lax.fori_loop(0, n_iters, body, 0.0)
 
-    import jax as _jax
-
-    f = _jax.jit(many)
-    dt = _timed(f, (state, bank, batch, _jax.random.PRNGKey(1)),
-                (state, bank, batch, _jax.random.PRNGKey(0)))
-    flops1 = _flops_per_call(_jax.jit(eval_fn),
-                             (state, bank, batch, _jax.random.PRNGKey(0)))
+    f = jax.jit(many)
+    dt = _timed(f, (state, bank, batch, jax.random.PRNGKey(1)),
+                (state, bank, batch, jax.random.PRNGKey(0)))
+    flops1 = _analytic_flops(batch_size=batch_size, T=EVAL_T, family=family,
+                             one_pass=teacher)
     return {
         "eps": batch_size * n_iters / dt,
-        "model_flops_per_sec": (flops1 * n_iters / dt) if flops1 else None,
-        "flops_per_episode": (flops1 / batch_size) if flops1 else None,
+        "model_flops_per_sec": flops1 * n_iters / dt,
+        "flops_per_episode": flops1 / batch_size,
     }
 
 
@@ -147,8 +183,8 @@ def bench_train(batch_size: int = TRAIN_BATCH, bf16: bool = False,
                 twopass: bool = False, remat: Optional[str] = None):
     import dataclasses
     import jax
-    import jax.numpy as jnp
     from avdn_tpu.train import make_train_step
+    import jax.numpy as jnp
     import __graft_entry__ as g
 
     world, cfg, (bert, dk, et), state, batch = g._flagship(
@@ -158,6 +194,7 @@ def bench_train(batch_size: int = TRAIN_BATCH, bf16: bool = False,
     if twopass or remat:
         cfg = dataclasses.replace(
             cfg, render_twopass=twopass,
+            render_crop=_default_crop() if twopass else cfg.render_crop,
             remat=remat is not None,
             remat_policy=remat or "full",
         )
@@ -180,12 +217,10 @@ def bench_train(batch_size: int = TRAIN_BATCH, bf16: bool = False,
     f = jax.jit(many)
     dt = _timed(f, (state, bank, batch, jax.random.PRNGKey(2)),
                 (state, bank, batch, jax.random.PRNGKey(3)))
-    step1 = jax.jit(step_fn)
-    flops1 = _flops_per_call(step1,
-                             (state, bank, batch, jax.random.PRNGKey(0)))
+    flops1 = _analytic_flops(batch_size=batch_size, T=TRAIN_T, train=True)
     return {
         "eps": batch_size * n_iters / dt,
-        "model_flops_per_sec": (flops1 * n_iters / dt) if flops1 else None,
+        "model_flops_per_sec": flops1 * n_iters / dt,
     }
 
 
@@ -198,45 +233,48 @@ def main():
     # Every measurement is individually guarded: the driver records this
     # script's single JSON line as the round's benchmark — one failing
     # path (cold-compile OOM, backend hiccup) must degrade the report,
-    # never lose it. The headline falls back exact → two-pass → error row.
+    # never lose it. The headline falls back default(two-pass) → exact →
+    # error row (status + headline_mode make the fallback machine-readable).
     _enable_compile_cache()
 
     def _try(fn, *a, **k):
         try:
             return fn(*a, **k), None
-        except Exception as e:  # pragma: no cover - exercised via mocks
+        except Exception as e:
             return None, repr(e)[:200]
 
-    ev, ev_err = _try(bench_eval)
-    ev2, ev2_err = _try(bench_eval, twopass=True)
-    ha, ha_err = _try(bench_eval, twopass=True, teacher=True)
+    ev, ev_err = _try(bench_eval)                       # shipped default
+    evx, evx_err = _try(bench_eval, twopass=False)      # exact cv2 parity
+    ha, ha_err = _try(bench_eval, teacher=True)
     tr, tr_err = _try(bench_train)
-    headline = ev or ev2
+    headline, mode = (ev, "twopass_default") if ev else \
+        ((evx, "exact_fallback") if evx else (None, "none"))
     out = {
-        # headline stays the exact-parity mode; fast modes are aux
         "metric": "episodes_per_sec_et_eval_rollout",
         "value": round(headline["eps"], 2) if headline else 0.0,
         "unit": "episodes/s",
         "vs_baseline": round(headline["eps"] / REFERENCE_EPISODES_PER_SEC, 2)
         if headline else 0.0,
+        "status": "ok" if (ev and evx and ha and tr) else
+        ("degraded" if headline else "error"),
+        "headline_mode": mode,
         "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
         "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",
     }
-    if ev is None and ev2 is not None:
-        out["headline_note"] = "exact eval failed; headline is two-pass mode"
-    if ev2 is not None:
-        out["eval_twopass_episodes_per_sec"] = round(ev2["eps"], 2)
+    if mode == "exact_fallback":
+        out["headline_note"] = ("shipped-default (two-pass) eval failed; "
+                                "headline is the exact-parity mode")
+    if evx is not None:
+        out["eval_exact_episodes_per_sec"] = round(evx["eps"], 2)
     if ha is not None:
         out["ha_eval_twopass_episodes_per_sec"] = round(ha["eps"], 2)
     if tr is not None:
         out["train_episodes_per_sec"] = round(tr["eps"], 2)
-    for tag, err in (("eval", ev_err), ("eval_twopass", ev2_err),
-                     ("ha_eval", ha_err), ("train", tr_err)):
+    # error keys use the SAME tag as each path's success keys
+    for tag, err in (("eval_default", ev_err), ("eval_exact", evx_err),
+                     ("ha_eval_twopass", ha_err), ("train", tr_err)):
         if err:
             out[f"{tag}_bench_error"] = err
-    # MFU: model FLOPs (XLA cost analysis of one compiled call) / wall time,
-    # as a share of the v5e bf16 MXU peak (197 TFLOP/s). The exact-parity
-    # eval computes in fp32, so its ceiling is below 100% by construction.
     if os.environ.get("AVDN_BENCH_SERVING") != "0":
         # serving point — batch 128, bf16 towers, two-pass render (PERF.md
         # "Serving scale"). crop 256: the serving point for coarse-lat_ratio
@@ -246,33 +284,56 @@ def main():
         try:
             sv = bench_eval(twopass=True, batch_size=128, bf16=True, crop=256)
             out["serving_b128_bf16_twopass_crop256_eps"] = round(sv["eps"], 2)
-            if sv.get("model_flops_per_sec"):
-                out["serving_mfu_pct_v5e_bf16_peak"] = _mfu(sv)
-        except Exception as e:  # pragma: no cover
+            out["serving_mfu_pct_v5e_bf16_peak"] = _mfu(sv)
+        except Exception as e:
             out["serving_bench_error"] = repr(e)[:200]
     if os.environ.get("AVDN_BENCH_TRAIN_FAST") != "0":
         # the optimized training recipe — batch 16, bf16 towers, two-pass
-        # render, --remat_policy dots (PERF.md "Train-step profile": 47.4
-        # eps/s, 13% MFU on v5e). Same guard (AVDN_BENCH_TRAIN_FAST=0 skips).
+        # render, --remat_policy dots (PERF.md "Train-step profile").
+        # Same guard (AVDN_BENCH_TRAIN_FAST=0 skips).
         try:
             tf = bench_train(batch_size=16, bf16=True, twopass=True,
                              remat="dots")
             out["train_fast_b16_bf16_twopass_dots_eps"] = round(tf["eps"], 2)
-            if tf.get("model_flops_per_sec"):
-                out["train_fast_mfu_pct_v5e_bf16_peak"] = _mfu(tf)
-        except Exception as e:  # pragma: no cover
+            out["train_fast_mfu_pct_v5e_bf16_peak"] = _mfu(tf)
+        except Exception as e:
             out["train_fast_bench_error"] = repr(e)[:200]
+    if os.environ.get("AVDN_BENCH_SERVING_E2E") == "1":
+        # opt-in: the FULL serving stack (HTTP → coalescing → Navigator
+        # host assembly w/ prefetch → device) on a generated demo dataset —
+        # tools/bench_serving.py; measured numbers live in PERF.md
+        # "Serving: end-to-end". Opt-in because it adds a Navigator compile
+        # and must never risk the round's JSON line.
+        try:
+            import argparse
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "tools"))
+            import bench_serving as _bs
+
+            r = _bs.run(argparse.Namespace(
+                root_dir=None, resume_file=None, tiny=False, bf16=True,
+                serve_batch=16, max_action_len=EVAL_T, clients=8,
+                requests_per_client=4, items_per_request=4,
+                max_wait_ms=5.0))
+            out["serving_e2e_eps"] = r["serving_e2e_eps"]
+            out["serving_e2e_p50_ms"] = r["p50_ms"]
+            out["serving_e2e_p99_ms"] = r["p99_ms"]
+        except Exception as e:
+            out["serving_e2e_bench_error"] = repr(e)[:200]
     if os.environ.get("AVDN_BENCH_LSTM") == "1":
         # opt-in (extra cold compiles): the second model family, HAA-LSTM,
         # same eval flow (recurrent cell instead of full-history trunk)
         try:
-            lv = bench_eval(family="lstm")
-            out["lstm_eval_episodes_per_sec"] = round(lv["eps"], 2)
-            lv2 = bench_eval(family="lstm", twopass=True)
+            lv = bench_eval(family="lstm", twopass=False)
+            out["lstm_eval_exact_episodes_per_sec"] = round(lv["eps"], 2)
+            lv2 = bench_eval(family="lstm")
             out["lstm_eval_twopass_episodes_per_sec"] = round(lv2["eps"], 2)
-        except Exception as e:  # pragma: no cover
+            out["lstm_eval_mfu_pct_v5e_bf16_peak"] = _mfu(lv2)
+        except Exception as e:
             out["lstm_bench_error"] = repr(e)[:200]
-    for tag, r in (("eval", ev), ("eval_twopass", ev2),
+    for tag, r in (("eval_default", ev), ("eval_exact", evx),
                    ("ha_eval_twopass", ha), ("train", tr)):
         if r and r.get("model_flops_per_sec"):
             out[f"{tag}_model_tflops_per_sec"] = round(

@@ -39,7 +39,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import __graft_entry__ as g
     from avdn_tpu.train import make_eval_rollout
-    from bench import _enable_compile_cache, _flops_per_call, _mfu
+    from bench import _analytic_flops, _enable_compile_cache, _mfu
 
     _enable_compile_cache()
     world, cfg, (bert, dk, et), state, batch = g._flagship(
@@ -80,9 +80,10 @@ def main(argv=None):
     _fetch(f(state, bank, batch, jax.random.PRNGKey(1)))
     dt = time.perf_counter() - t0
 
-    flops1 = _flops_per_call(
-        jax.jit(eval_fn), (state, bank, batch, jax.random.PRNGKey(0))
-    )
+    # analytic model FLOPs (utils/flops.py); the HA eval uses the one-pass
+    # teacher trunk (collect_ha=True path)
+    flops1 = _analytic_flops(batch_size=ns.batch, T=ns.horizon,
+                             one_pass=True)
     out = {
         "config": {"batch": ns.batch, "T": ns.horizon, "bf16": ns.bf16,
                    "twopass": ns.twopass, "fused_teacher": not ns.no_fused},

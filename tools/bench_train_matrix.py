@@ -48,7 +48,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import __graft_entry__ as g
     from avdn_tpu.train import make_train_step
-    from bench import _enable_compile_cache, _flops_per_call, _mfu
+    from bench import _analytic_flops, _enable_compile_cache, _mfu
 
     _enable_compile_cache()
     world, cfg, (bert, dk, et), state, batch = g._flagship(
@@ -90,9 +90,9 @@ def main(argv=None):
     _fetch(f(state, bank, batch, jax.random.PRNGKey(1)))
     dt = time.perf_counter() - t0
 
-    flops1 = _flops_per_call(
-        jax.jit(step_fn), (state, bank, batch, jax.random.PRNGKey(0))
-    )
+    # analytic model FLOPs (utils/flops.py): trip-count-honest for the
+    # scan paths, identical math across remat/fused/accum variants
+    flops1 = _analytic_flops(batch_size=ns.batch, T=ns.horizon, train=True)
     out = {
         "config": {
             "batch": ns.batch, "T": ns.horizon, "bf16": ns.bf16,
