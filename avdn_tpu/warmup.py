@@ -1,7 +1,7 @@
 """Populate the persistent XLA compile cache for a training configuration.
 
-The full train-step gradient compile is expensive cold (~25 min on the
-remote TPU backend — PERF.md "Cold compile"); the persistent cache
+The full train-step gradient compile is expensive cold (measured 438 s on
+the remote TPU backend — PERF.md "Cold compile"); the persistent cache
 (enabled by the drivers, train/loop.py ``_enable_compile_cache``) makes
 every later run start in seconds — but only AFTER someone has paid the
 cold compile once. This tool pays it up front, without needing the

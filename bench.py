@@ -106,9 +106,9 @@ def _analytic_flops(*, batch_size: int, T: int, family: str = "et",
 
 
 def _enable_compile_cache():
-    """Persistent XLA compile cache — the full train-step grad compile takes
-    ~25 min cold on this backend; cached reruns are seconds. Cold/warm
-    numbers + the warmup tool: PERF.md "Cold compile" /
+    """Persistent XLA compile cache — the full train-step grad compile
+    measures 438 s cold / 85 s cached on this backend. Cold/warm numbers +
+    the warmup tool: PERF.md "Cold compile" /
     ``python -m avdn_tpu.warmup``."""
     import jax
 

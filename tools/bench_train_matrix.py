@@ -4,7 +4,7 @@ Measures the full train step (double rollout teacher+student, 3-way AdamW,
 vln grad-clip 40) for one flag combination on the real TPU and prints one
 JSON line. Run separately per config so an OOM in one point cannot take
 down the rest of a sweep, and so the persistent compile cache amortises the
-~25 min cold grad-compiles across reruns.
+multi-minute cold grad-compiles across reruns (PERF.md "Cold compile").
 
 Methodology identical to bench.py::bench_train: repetition loop inside jit
 with the optimizer state threaded through the carry (hoist-proof by
