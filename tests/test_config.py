@@ -69,6 +69,46 @@ def test_unknown_optim_is_a_hard_error(tmp_path, monkeypatch):
     assert parse_args(["--output_dir", "o"]).optim == "adamW"
 
 
+def test_preset_production_applies_recipe(tmp_path, monkeypatch):
+    # the measured-best recipe in one flag (PERF.md "Train-step profile")
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o", "--preset", "production"])
+    assert args.batch_size == 16
+    assert args.bf16 is True
+    assert args.render_twopass is True
+    assert args.remat is True and args.remat_policy == "dots"
+
+
+def test_preset_explicit_flags_win(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o", "--preset", "production",
+                       "--batch_size", "32", "--bf16", "False"])
+    assert args.batch_size == 32
+    assert args.bf16 is False
+    assert args.render_twopass is True  # non-overridden preset value stays
+    # '=' form counts as explicit too
+    args = parse_args(["--output_dir", "o", "--preset", "production",
+                       "--remat_policy=full"])
+    assert args.remat_policy == "full"
+
+
+def test_preset_reference_is_default_and_noop(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    base = parse_args(["--output_dir", "o"])
+    named = parse_args(["--output_dir", "o", "--preset", "reference"])
+    assert base == named
+    assert base.preset == "reference"
+    assert base.batch_size == 8 and base.bf16 is False
+
+
+def test_unknown_preset_is_a_hard_error(tmp_path, monkeypatch):
+    import pytest
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="fastest"):
+        parse_args(["--output_dir", "o", "--preset", "fastest"])
+
+
 def test_family_flag(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     args = parse_args(["--output_dir", "o"], family="lstm")
