@@ -27,14 +27,20 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.abspath(
+        os.path.join(_NATIVE_DIR, "avdn_host", "avdn_host.cpp"))
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         lib.area_resize_u8.argtypes = [
@@ -49,6 +55,25 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ]
+        try:  # wp_* symbols absent in pre-round-4 builds of the .so
+            lib.wp_create.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_destroy.argtypes = [ctypes.c_void_p]
+            lib.wp_encode_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_longlong), ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.wp_encode_batch.restype = ctypes.c_int
+            lib._has_wp = True
+        except AttributeError:
+            lib._has_wp = False
         _lib = lib
     except OSError:
         _lib = None
@@ -84,6 +109,55 @@ def swap_rb(img: np.ndarray) -> np.ndarray:
     img = np.ascontiguousarray(img, np.uint8)
     lib.swap_rb_u8(_u8p(img), img.shape[0], img.shape[1])
     return img
+
+
+def wp_available() -> bool:
+    lib = _load()
+    return lib is not None and getattr(lib, "_has_wp", False)
+
+
+def wp_create(vocab_text: Optional[bytes], lowercase: bool = True,
+              hash_size: int = 0) -> Optional[int]:
+    """Build a native WordPiece tokenizer. ``vocab_text`` is the raw
+    vocab.txt bytes (real-vocab mode) or None with ``hash_size`` for the
+    hashed-fallback mode. Returns an opaque handle or None."""
+    if not wp_available():
+        return None
+    lib = _load()
+    buf = vocab_text if vocab_text is not None else b""
+    h = lib.wp_create(buf, len(buf), int(lowercase), hash_size)
+    return h or None
+
+
+def wp_destroy(handle: int) -> None:
+    lib = _load()
+    if lib is not None and handle:
+        lib.wp_destroy(handle)
+
+
+def wp_encode_batch(handle: int, texts, max_length: int, pad_to: int):
+    """Encode a batch of str texts. Returns (ids, mask, fallback_idx) —
+    ``fallback_idx`` lists texts the native path refused (non-ASCII);
+    their rows are left zeroed for the caller to fill."""
+    lib = _load()
+    raw = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(raw) + 1, np.int64)
+    np.cumsum([len(r) for r in raw], out=offsets[1:])
+    blob = b"".join(raw)
+    n = len(raw)
+    ids = np.zeros((n, pad_to), np.int32)
+    mask = np.zeros((n, pad_to), np.int32)
+    fb = np.zeros(n, np.uint8)
+    rc = lib.wp_encode_batch(
+        handle, blob, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n, max_length, pad_to,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"wp_encode_batch failed (rc={rc})")
+    return ids, mask, np.nonzero(fb)[0]
 
 
 def fill_circles(h: int, w: int, circles: np.ndarray) -> np.ndarray:

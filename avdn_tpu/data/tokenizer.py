@@ -79,6 +79,8 @@ class WordPieceTokenizer:
         self.unk_id = vocab[UNK]
         self.cls_id = vocab[CLS]
         self.sep_id = vocab[SEP]
+        self._native = None       # lazy C++ handle (data/native.py wp_*)
+        self._native_tried = False
 
     # ------------------------------------------------------------ loading
     @staticmethod
@@ -149,6 +151,49 @@ class WordPieceTokenizer:
             out.extend(self.wordpiece(w))
         return out
 
+    def _encode_ids(self, text: str, max_length: Optional[int]) -> List[int]:
+        """[CLS] pieces [SEP] id list for one text (pure Python)."""
+        toks = self.tokenize(text)
+        if max_length is not None:
+            toks = toks[: max_length - 2]
+        return [self.cls_id] + [
+            self.vocab[tk] if tk in self.vocab else self.unk_id for tk in toks
+        ] + [self.sep_id]
+
+    # ------------------------------------------------------- native path
+    def _native_handle(self):
+        """Lazy C++ WordPiece handle (native/avdn_host wp_*). None when the
+        native lib is unavailable, the vocab shape is unsupported, or
+        AVDN_NATIVE_TOKENIZER=0."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        if os.environ.get("AVDN_NATIVE_TOKENIZER") == "0":
+            return None
+        from avdn_tpu.data import native
+
+        size = getattr(self.vocab, "_size", None)
+        if size is not None:  # hashed-fallback vocabulary
+            self._native = native.wp_create(None, self.lowercase,
+                                            hash_size=size)
+            return self._native
+        # real vocabulary: serialisable iff ids are dense 0..n-1
+        n = len(self.vocab)
+        if len(self.inv_vocab) == n and set(self.inv_vocab) == set(range(n)):
+            text = "\n".join(self.inv_vocab[i] for i in range(n))
+            self._native = native.wp_create(text.encode("utf-8"),
+                                            self.lowercase)
+        return self._native
+
+    def __del__(self):
+        if getattr(self, "_native", None):
+            try:
+                from avdn_tpu.data import native
+
+                native.wp_destroy(self._native)
+            except Exception:
+                pass
+
     def __call__(
         self,
         texts: Sequence[str],
@@ -160,16 +205,33 @@ class WordPieceTokenizer:
 
         ``pad_to`` forces a fixed sequence length (static shapes for jit);
         default pads to the batch max like the reference's ``padding=True``.
+        The static-shape case (both set — every hot path) runs in the C++
+        tokenizer when available (~40x the Python encoder; parity pinned by
+        tests/test_native.py); texts with non-ASCII bytes fall back
+        per-text (BERT accent-stripping needs full Unicode tables).
         """
-        seqs = []
-        for t in texts:
-            toks = self.tokenize(t)
-            if max_length is not None:
-                toks = toks[: max_length - 2]
-            ids = [self.cls_id] + [
-                self.vocab[tk] if tk in self.vocab else self.unk_id for tk in toks
-            ] + [self.sep_id]
-            seqs.append(ids)
+        if max_length is not None and pad_to is not None and len(texts):
+            handle = self._native_handle()
+            if handle:
+                from avdn_tpu.data import native
+
+                ids_arr, mask, fb = native.wp_encode_batch(
+                    handle, list(texts), max_length, pad_to)
+                for i in fb:  # non-ASCII texts: exact Python semantics
+                    s = self._encode_ids(texts[i], max_length)[:pad_to]
+                    ids_arr[i, :] = self.pad_id
+                    ids_arr[i, : len(s)] = s
+                    mask[i, : len(s)] = 1
+                return ids_arr, mask
+        return self._encode_python(texts, max_length, pad_to)
+
+    def _encode_python(
+        self,
+        texts: Sequence[str],
+        max_length: Optional[int] = None,
+        pad_to: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        seqs = [self._encode_ids(t, max_length) for t in texts]
         L = pad_to if pad_to is not None else max(len(s) for s in seqs)
         ids_arr = np.full((len(seqs), L), self.pad_id, np.int32)
         mask = np.zeros((len(seqs), L), np.int32)

@@ -49,3 +49,72 @@ class TestFillCircles:
         # rasterisation boundary conventions differ by <= a 1px ring
         frac_diff = np.mean(got != want)
         assert frac_diff < 0.01, frac_diff
+
+
+@pytest.mark.skipif(not native.wp_available(),
+                    reason="native lib lacks wp_* (stale build)")
+class TestNativeWordPiece:
+    """C++ WordPiece encoder ≡ the pure-Python tokenizer (the hot batch
+    path of train/eval/serving batch assembly, data/batcher.py:90-93)."""
+
+    TEXTS = [
+        "Move forward toward the GRAY building, then turn left!",
+        "it's at 3 o'clock; a red-roofed structure.",
+        "",
+        "   ",
+        "!!!",
+        "word " * 200,                      # truncation path
+        "a" * 150 + " ok",                  # max_chars_per_word -> [UNK]
+        "tab\tand\nnewline\rsplits",
+        "ctrl\x01chars\x02vanish",          # control chars drop, word joins
+        "[QUE] does punctuation [ANS] split correctly?",
+    ]
+    NON_ASCII = ["café au lait", "naïve mover", "über — dash"]
+
+    def _check(self, tok, texts, max_length=32, pad_to=40):
+        ids_n, mask_n = tok(texts, max_length=max_length, pad_to=pad_to)
+        ids_p, mask_p = tok._encode_python(texts, max_length=max_length,
+                                           pad_to=pad_to)
+        assert tok._native is not None, "native path was not engaged"
+        np.testing.assert_array_equal(ids_n, ids_p)
+        np.testing.assert_array_equal(mask_n, mask_p)
+
+    def test_hashed_fallback_mode_parity(self):
+        from avdn_tpu.data.tokenizer import WordPieceTokenizer
+
+        self._check(WordPieceTokenizer.fallback(), self.TEXTS)
+
+    def test_real_vocab_mode_parity(self):
+        from avdn_tpu.data.tokenizer import WordPieceTokenizer
+
+        vocab_toks = (["[PAD]"] + [f"unused{i}" for i in range(99)]
+                      + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                      + ["move", "forward", "the", "gray", "build", "##ing",
+                         "turn", "left", "at", "red", "-", ",", "!", ".",
+                         "'", ";", "?", "a", "##a", "word", "##s", "ok",
+                         "it", "s", "o", "3", "[", "]", "que", "ans"])
+        tok = WordPieceTokenizer({t: i for i, t in enumerate(vocab_toks)})
+        self._check(tok, self.TEXTS)
+
+    def test_non_ascii_falls_back_per_text(self):
+        from avdn_tpu.data.tokenizer import WordPieceTokenizer
+
+        tok = WordPieceTokenizer.fallback()
+        mixed = [self.TEXTS[0]] + self.NON_ASCII + [self.TEXTS[1]]
+        self._check(tok, mixed)
+
+    def test_pad_shorter_than_sequence_truncates_like_python(self):
+        from avdn_tpu.data.tokenizer import WordPieceTokenizer
+
+        tok = WordPieceTokenizer.fallback()
+        # pad_to < len([CLS]+toks+[SEP]): row is a plain prefix, SEP cut
+        self._check(tok, ["one two three four five six"],
+                    max_length=32, pad_to=5)
+
+    def test_env_kill_switch(self, monkeypatch):
+        from avdn_tpu.data.tokenizer import WordPieceTokenizer
+
+        monkeypatch.setenv("AVDN_NATIVE_TOKENIZER", "0")
+        tok = WordPieceTokenizer.fallback()
+        tok(["hello world"], max_length=8, pad_to=8)
+        assert tok._native is None
