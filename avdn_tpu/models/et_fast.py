@@ -133,6 +133,37 @@ def _attend(q, k, v, bias):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _attend_two(q, k1, v1, bias1, k2, v2, bias2):
+    """Softmax attention over TWO key/value sources without concatenating
+    them: ``softmax([l1; l2])`` decomposes into per-source exponentials
+    under a shared max shift, renormalised by the joint sum. Numerically
+    equal to ``_attend(q, concat(k1,k2), concat(v1,v2), concat(bias))`` up
+    to float reassociation (pinned at 1e-5 by tests/test_et_fast.py), and
+    keeps the episode-constant language cache OUT of the scan body — the
+    per-step (B, H, L+2T, hd) concat was pure data movement and the reason
+    the KV decode measured SLOWER at L=100 (PERF.md 'Eval-trunk
+    reformulations'). Fully-masked rows produce joint-sum 0 and output 0,
+    matching ``_attend``'s NaN guard."""
+    hd = q.shape[-1]
+    scale = jnp.sqrt(jnp.float32(hd)).astype(q.dtype)
+    l1 = jnp.einsum("bhqd,bhkd->bhqk", q, k1) / scale + bias1
+    l2 = jnp.einsum("bhqd,bhkd->bhqk", q, k2) / scale + bias2
+    m = jnp.maximum(
+        jnp.max(l1, axis=-1, keepdims=True),
+        jnp.max(l2, axis=-1, keepdims=True),
+    )
+    m = jnp.where(jnp.isfinite(m), m, 0.0).astype(q.dtype)
+    e1 = jnp.exp(l1 - m)   # -inf bias entries exp to exactly 0
+    e2 = jnp.exp(l2 - m)
+    s = jnp.sum(e1, axis=-1, keepdims=True) + jnp.sum(
+        e2, axis=-1, keepdims=True
+    )
+    o = jnp.einsum("bhqk,bhkd->bhqd", e1, v1) + jnp.einsum(
+        "bhqk,bhkd->bhqd", e2, v2
+    )
+    return jnp.where(s > 0, o / s, 0.0).astype(q.dtype)
+
+
 def _layer_forward(p, x, bias, H, dtype):
     """TransformerEncoderLayer deterministic forward (post-LN torch
     semantics, models/layers.py:148-190)."""
@@ -339,10 +370,12 @@ def decode_step(
 
     # ---- key validity: language + written steps below each item's length ----
     step_valid = jnp.arange(T)[None, :] < lengths[:, None]          # (B, T)
-    key_valid = jnp.concatenate(
-        [~_lang_pad(cfg, lang_mask, B, L), step_valid, step_valid], axis=1
-    )
-    bias = jnp.where(key_valid, 0.0, _NEG)[:, None, None, :].astype(dtype)
+    lang_bias = jnp.where(
+        ~_lang_pad(cfg, lang_mask, B, L), 0.0, _NEG
+    )[:, None, None, :].astype(dtype)
+    step_bias = jnp.where(
+        jnp.concatenate([step_valid, step_valid], axis=1), 0.0, _NEG
+    )[:, None, None, :].astype(dtype)
 
     step_k, step_v = cache.step_k, cache.step_v
     for i in range(cfg.encoder_layers):
@@ -357,9 +390,10 @@ def decode_step(
         sv = jax.lax.dynamic_update_slice_in_dim(sv, vh[:, :, 1:2], T + t, axis=2)
         step_k = step_k.at[i].set(sk)
         step_v = step_v.at[i].set(sv)
-        keys = jnp.concatenate([lang_kv[i][0], sk], axis=2)
-        vals = jnp.concatenate([lang_kv[i][1], sv], axis=2)
-        attn = _attend(qh, keys, vals, bias)
+        # two-softmax merge: attend the (scan-invariant) language cache and
+        # the carried step cache separately — no per-step concat
+        attn = _attend_two(qh, lang_kv[i][0], lang_kv[i][1], lang_bias,
+                           sk, sv, step_bias)
         attn = _dense(lp["out_proj"], _merge_heads(attn), dtype)
         x = _layernorm(lp["norm1"], x + attn, dtype)
         ff = _dense(
