@@ -75,7 +75,13 @@ class Args:
     feedback: str = "student"
     # family (framework-native)
     family: str = "et"
-    bf16: bool = False  # bfloat16 compute in the model towers (fp32 params)
+    # Tristate: None (default) = bfloat16 tower compute for EVAL/SERVING on
+    # TPU (fp32 on CPU backends — same auto-fallback rule as render_bf16),
+    # fp32 for TRAIN (the shipped configuration — metric equivalence of the
+    # bf16 eval towers is golden-gated alongside the render modes,
+    # tests/test_render_mode_goldens.py 'twopass_bf16'); True/False forces
+    # both paths. Params/optimizer always stay fp32.
+    bf16: Optional[bool] = None
     render_subsample: int = 1  # >1: fast non-parity warp (PERF.md)
     # Tristate: None (default) = two-pass MXU warp for EVAL/SERVING, exact
     # gather for TRAIN (the shipped configuration — metric equivalence is
@@ -174,7 +180,9 @@ _HELP = {
     "train_val_on_full": "full-trajectory mode: stitch dialog rounds into one episode",
     "submit": "add test_unseen and dump the Eval.ai output_test_result.npy",
     "family": "'et' (HAA-Transformer) or 'lstm' (HAA-LSTM)",
-    "bf16": "bfloat16 tower compute (fp32 params); opt-in speed mode",
+    "bf16": "bfloat16 tower compute (fp32 params). Default (unset): bf16 "
+            "for eval/serving on TPU, fp32 for train and on CPU backends; "
+            "pass True/False to force both paths (False = fp32 everywhere)",
     "render_subsample": ">1: low-res warp + upscale (fastest render)",
     "render_twopass": "full-res 2-pass MXU warp, ~5x the exact render. "
                       "Default (unset): two-pass for eval/serving, exact "

@@ -46,6 +46,7 @@ class Navigator:
         from avdn_tpu.train.loop import (
             batcher_config,
             build_models,
+            eval_bf16,
             eval_config_from_args,
             init_state,
             resolve_render_crop,
@@ -56,10 +57,11 @@ class Navigator:
         self.serve_batch = serve_batch or args.batch_size
         self.runtime = setup_runtime(args, batch_size=self.serve_batch)
         args = resolve_render_crop(args)
-        # serving uses the EVAL config: two-pass render by default (the
-        # shipped fast mode; --render_twopass False restores cv2 parity)
+        # serving uses the EVAL config: two-pass render + bf16 towers by
+        # default (the shipped fast modes; --render_twopass False /
+        # --bf16 False restore cv2/fp32 parity)
         self.cfg = eval_config_from_args(args)
-        bert, darknet, vln = build_models(args)
+        bert, darknet, vln = build_models(args, bf16=eval_bf16(args))
         state = init_state(args, bert, darknet, vln, self.cfg,
                            jax.random.PRNGKey(args.seed))
         if args.resume_file == "latest":

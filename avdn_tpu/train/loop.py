@@ -64,8 +64,29 @@ from avdn_tpu.utils import MetricWriter, PhaseTimer, set_random_seed, time_since
 from avdn_tpu.utils.profiling import profile_trace
 
 
-def build_models(args: Args):
-    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+def train_bf16(args: Args) -> bool:
+    """Training computes fp32 unless --bf16 True (reference numerics by
+    default; the bf16 train recipe is opt-in / --preset production)."""
+    return getattr(args, "bf16", None) is True
+
+
+def eval_bf16(args: Args) -> bool:
+    """Eval/serving towers default to bfloat16 compute on TPU — metric
+    equivalence is golden-gated alongside the render modes
+    (tests/test_render_mode_goldens.py 'twopass_bf16'); measured +36% eval
+    throughput (PERF.md). CPU backends fall back to fp32 exactly like the
+    render_bf16 einsums (sim/warp2pass.py) — bf16 there is emulated and
+    slower. --bf16 True/False forces the choice on any backend."""
+    flag = getattr(args, "bf16", None)
+    if flag is None:
+        return jax.default_backend() != "cpu"
+    return bool(flag)
+
+
+def build_models(args: Args, bf16: Optional[bool] = None):
+    if bf16 is None:
+        bf16 = train_bf16(args)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
     if args.demb == 768 and args.bert_layers == 12:
         bert_cfg = BertConfig()
     else:
@@ -569,12 +590,19 @@ def train(args: Args):
 
         train_step = CompileSynced(train_step, "train_step")
     ecfg = eval_config_from_args(args)  # eval default: two-pass render
-    eval_student = jax.jit(make_eval_rollout(ecfg, bert, darknet, vln,
+    # eval towers may run a different compute dtype than training (shipped:
+    # bf16 eval / fp32 train) — same fp32 params, modules rebuilt with the
+    # eval dtype only when it differs
+    if eval_bf16(args) != train_bf16(args):
+        ebert, edarknet, evln = build_models(args, bf16=eval_bf16(args))
+    else:
+        ebert, edarknet, evln = bert, darknet, vln
+    eval_student = jax.jit(make_eval_rollout(ecfg, ebert, edarknet, evln,
                                              teacher=False))
-    eval_teacher = jax.jit(make_eval_rollout(ecfg, bert, darknet, vln,
+    eval_teacher = jax.jit(make_eval_rollout(ecfg, ebert, edarknet, evln,
                                              teacher=True, collect_ha=True))
     eval_student_test = (
-        jax.jit(make_eval_rollout(ecfg, bert, darknet, vln, teacher=False,
+        jax.jit(make_eval_rollout(ecfg, ebert, edarknet, evln, teacher=False,
                                   compute_losses=False))
         if args.submit else None
     )
@@ -744,7 +772,9 @@ def valid(args: Args):
     _enable_compile_cache(args)
     args = resolve_render_crop(args)
     cfg = train_config_from_args(args)
-    bert, darknet, vln = build_models(args)
+    # inference driver: towers run the EVAL compute dtype (shipped: bf16 on
+    # TPU); params stay fp32 so checkpoint load/import is dtype-agnostic
+    bert, darknet, vln = build_models(args, bf16=eval_bf16(args))
     state = init_state(args, bert, darknet, vln, cfg, jax.random.PRNGKey(args.seed))
     if args.resume_file == "latest":
         # same sentinel train() honors; inference has no fresh-start

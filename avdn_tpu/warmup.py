@@ -65,8 +65,10 @@ def warmup(args, programs: Optional[List[str]] = None) -> dict:
         _enable_compile_cache,
         batcher_config,
         build_models,
+        eval_bf16,
         eval_config_from_args,
         init_state,
+        train_bf16,
         train_config_from_args,
     )
     from avdn_tpu.train.step import make_eval_rollout, make_train_step
@@ -82,6 +84,11 @@ def warmup(args, programs: Optional[List[str]] = None) -> dict:
     cfg = train_config_from_args(args)
     ecfg = eval_config_from_args(args)
     bert, darknet, vln = build_models(args)
+    # mirror the driver's eval-vs-train compute dtype split (loop.py train())
+    if eval_bf16(args) != train_bf16(args):
+        ebert, edarknet, evln = build_models(args, bf16=eval_bf16(args))
+    else:
+        ebert, edarknet, evln = bert, darknet, vln
     state = init_state(args, bert, darknet, vln, cfg,
                        jax.random.PRNGKey(args.seed))
     state = runtime.replicate(state)
@@ -101,9 +108,9 @@ def warmup(args, programs: Optional[List[str]] = None) -> dict:
         "train_step": lambda: jax.jit(
             make_train_step(cfg, bert, darknet, vln), donate_argnums=0),
         "eval_student": lambda: jax.jit(
-            make_eval_rollout(ecfg, bert, darknet, vln, teacher=False)),
+            make_eval_rollout(ecfg, ebert, edarknet, evln, teacher=False)),
         "eval_teacher_ha": lambda: jax.jit(
-            make_eval_rollout(ecfg, bert, darknet, vln, teacher=True,
+            make_eval_rollout(ecfg, ebert, edarknet, evln, teacher=True,
                               collect_ha=True)),
     }
     times = {}

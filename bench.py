@@ -4,11 +4,12 @@ Measurements, all end-to-end under one jit on the TPU:
 
 * **headline (eval, shipped default)**: student-forced eval rollouts exactly
   as the driver ships them (BERT ×2 → per-step two-pass MXU render →
-  Darknet-53 → ET → dynamics; ``eval_render_twopass`` default + auto
-  render-crop, train/loop.py) at batch 16, max_action_len=5 as in the
-  shipped eval config (validation_args.json). Metric-level equivalence of
-  the two-pass render vs the exact cv2-parity gather is golden-gated
-  (tests/test_render_mode_goldens.py);
+  Darknet-53 → ET → dynamics; ``eval_render_twopass`` + ``eval_bf16``
+  defaults + auto render-crop, train/loop.py) at batch 16,
+  max_action_len=5 as in the shipped eval config (validation_args.json).
+  Metric-level equivalence of the two-pass render and the bf16 towers vs
+  the exact fp32 cv2-parity mode is golden-gated
+  (tests/test_render_mode_goldens.py, mode 'twopass_bf16');
 * **eval_exact**: the same flow with ``--render_twopass False`` (strict cv2
   parity — the mode `tools/repro_valid.py` uses);
 * **train**: full train steps (double rollout teacher+student, 3-way AdamW,
@@ -121,17 +122,23 @@ def _enable_compile_cache():
 
 
 def bench_eval(twopass: Optional[bool] = None, batch_size: int = BATCH,
-               bf16: bool = False, crop: Optional[int] = None,
+               bf16: Optional[bool] = None, crop: Optional[int] = None,
                teacher: bool = False, family: str = "et"):
     """One eval-rollout measurement. ``twopass=None`` = the SHIPPED default
-    (two-pass render at the auto-derived crop); False = exact cv2-parity
-    gather; True + ``crop`` = explicit two-pass configuration."""
+    (two-pass render at the auto-derived crop + bf16 towers, mirroring
+    train/loop.py eval_render_twopass/eval_bf16); False = exact cv2-parity
+    gather (fp32 towers unless forced); True + ``crop`` = explicit two-pass
+    configuration."""
     import dataclasses
     import jax
     import jax.numpy as jnp
     from avdn_tpu.train import make_eval_rollout
     import __graft_entry__ as g
 
+    if bf16 is None:
+        # shipped eval default: bf16 towers, except in the strict-parity
+        # exact mode (and on CPU backends, matching eval_bf16's fallback)
+        bf16 = twopass is not False and jax.default_backend() != "cpu"
     if twopass is None:
         twopass = True
     world, cfg, (bert, dk, et), state, batch = g._flagship(
@@ -247,7 +254,7 @@ def main():
     evx, evx_err = _try(bench_eval, twopass=False)      # exact cv2 parity
     ha, ha_err = _try(bench_eval, teacher=True)
     tr, tr_err = _try(bench_train)
-    headline, mode = (ev, "twopass_default") if ev else \
+    headline, mode = (ev, "twopass_bf16_default") if ev else \
         ((evx, "exact_fallback") if evx else (None, "none"))
     out = {
         "metric": "episodes_per_sec_et_eval_rollout",
@@ -258,7 +265,8 @@ def main():
         "status": "ok" if (ev and evx and ha and tr) else
         ("degraded" if headline else "error"),
         "headline_mode": mode,
-        "eval_shape": f"batch={BATCH} T={EVAL_T} bert-base darknet53",
+        "eval_shape": (f"batch={BATCH} T={EVAL_T} bert-base darknet53 "
+                       "(shipped default: twopass render + bf16 towers)"),
         "train_shape": f"batch={TRAIN_BATCH} T={TRAIN_T} double-rollout 3xAdamW",
     }
     if mode == "exact_fallback":

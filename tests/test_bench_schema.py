@@ -71,7 +71,7 @@ def test_happy_path_schema(bench, monkeypatch):
     assert out["unit"] == "episodes/s"
     assert out["vs_baseline"] == round(500.0 / bench.REFERENCE_EPISODES_PER_SEC, 2)
     assert out["status"] == "ok"
-    assert out["headline_mode"] == "twopass_default"
+    assert out["headline_mode"] == "twopass_bf16_default"
     # aux rows + MFU accounting (analytic — utils/flops.py)
     assert out["eval_exact_episodes_per_sec"] == 100.0
     assert out["train_episodes_per_sec"] == 15.0

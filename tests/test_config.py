@@ -69,6 +69,29 @@ def test_unknown_optim_is_a_hard_error(tmp_path, monkeypatch):
     assert parse_args(["--output_dir", "o"]).optim == "adamW"
 
 
+def test_bf16_tristate(tmp_path, monkeypatch):
+    # default (unset): bf16 eval/serving on TPU, fp32 train + fp32 on CPU
+    # backends (tests run on CPU -> eval resolves fp32 here, same
+    # auto-fallback rule as render_bf16, sim/warp2pass.py)
+    from avdn_tpu.train.loop import eval_bf16, train_bf16
+
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o"])
+    assert args.bf16 is None
+    assert train_bf16(args) is False
+    import jax
+
+    want_eval = jax.default_backend() != "cpu"
+    assert eval_bf16(args) is want_eval
+    # forced: both paths follow the flag on any backend
+    args = parse_args(["--output_dir", "o", "--bf16", "True"])
+    assert args.bf16 is True
+    assert train_bf16(args) is True and eval_bf16(args) is True
+    args = parse_args(["--output_dir", "o", "--bf16", "False"])
+    assert args.bf16 is False
+    assert train_bf16(args) is False and eval_bf16(args) is False
+
+
 def test_preset_production_applies_recipe(tmp_path, monkeypatch):
     # the measured-best recipe in one flag (PERF.md "Train-step profile")
     monkeypatch.chdir(tmp_path)
@@ -98,7 +121,7 @@ def test_preset_reference_is_default_and_noop(tmp_path, monkeypatch):
     named = parse_args(["--output_dir", "o", "--preset", "reference"])
     assert base == named
     assert base.preset == "reference"
-    assert base.batch_size == 8 and base.bf16 is False
+    assert base.batch_size == 8 and base.bf16 is None  # bf16 tristate
 
 
 def test_unknown_preset_is_a_hard_error(tmp_path, monkeypatch):

@@ -91,10 +91,12 @@ def main(argv=None):
         feedback="student",
         darknet_model_file=need["yolo_v3.cfg"],
         bert_vocab_file=need["bert vocab.txt"],
-        # strict cv2-parity render: the point of this tool is reproducing
-        # the reference log bit-for-bit-close, not speed (the shipped eval
-        # default is the two-pass warp — PARITY.md)
+        # strict parity: exact cv2 render + fp32 towers — the point of this
+        # tool is reproducing the reference log bit-for-bit-close, not
+        # speed (the shipped eval defaults are the two-pass warp + bf16
+        # towers — PARITY.md)
         render_twopass=False,
+        bf16=False,
     ))
     valid(args)
 
