@@ -91,6 +91,7 @@ class Args:
     render_crop: int = 0  # 2-pass source window px; 0 = auto from dataset
     render_bf16: bool = True  # bf16 two-pass warp einsums (fp32 for parity)
     fold_bn_eval: bool = True  # fold BN + input norm into eval conv weights
+    quant: str = "none"  # "int8": dynamic-int8 eval/serving vision tower
     profile_dir: Optional[str] = None  # capture a jax profiler trace here
     grad_accum: int = 1  # micro-batch count (batch_size must divide evenly)
     remat: bool = False  # rematerialise rollout steps (fit bigger train batches)
@@ -193,6 +194,10 @@ _HELP = {
     "render_bf16": "two-pass warp in bfloat16 (default); False = tighter fp32",
     "fold_bn_eval": "fold eval-mode BatchNorm + input normalisation into the "
                     "conv weights (inference transform; same math)",
+    "quant": "'int8': eval/serving vision tower in dynamic symmetric int8 "
+             "(per-channel weights, per-tensor activations, s32 accum on "
+             "the 2x-peak int8 MXU). Opt-in approximation — error bounds "
+             "in tests/test_quant.py; eval-only (training is unaffected)",
     "profile_dir": "capture a jax profiler trace into this directory",
     "grad_accum": "micro-batch count; must divide batch_size. NOT numerically "
                   "identical to the full batch: episode-alive loss gating, BN "

@@ -257,11 +257,13 @@ def train_config_from_args(args: Args) -> TrainConfig:
 def eval_config_from_args(args: Args) -> TrainConfig:
     """The eval/serving-side config: identical to the train config except
     the render mode, which defaults to the two-pass MXU warp (the shipped
-    eval default — see :func:`eval_render_twopass`)."""
+    eval default — see :func:`eval_render_twopass`), and the opt-in
+    quantized vision tower (``--quant int8``, eval-only by construction)."""
     import dataclasses
 
     return dataclasses.replace(train_config_from_args(args),
-                               render_twopass=eval_render_twopass(args))
+                               render_twopass=eval_render_twopass(args),
+                               quant=getattr(args, "quant", "none"))
 
 
 def batcher_config(args: Args) -> BatcherConfig:

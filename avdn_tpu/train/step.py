@@ -79,6 +79,7 @@ class TrainConfig:
     fused_teacher: bool = True    # time-fused teacher rollouts (rollout/fused.py)
     fast_eval_trunk: bool = True  # one-pass teacher eval trunk (et_fast.py)
     et_decode_trunk: bool = False  # incremental eval scan decode (opt-in)
+    quant: str = "none"           # "none" | "int8" eval/serving tower (opt-in)
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
                     **kw) -> RolloutConfig:
@@ -366,11 +367,26 @@ def make_eval_rollout(cfg: TrainConfig, bert_model, darknet_model, vln_model,
     passes from inside the scan. Same math up to float reassociation.
     """
     fold = cfg.fold_bn_eval
+    quant = cfg.quant == "int8"
+    if quant and not fold:
+        raise ValueError(
+            "--quant int8 requires --fold_bn_eval (the quantizer consumes "
+            "the bias-carrying folded conv form)"
+        )
+    if cfg.quant not in ("none", "int8"):
+        raise ValueError(f"unknown quant mode {cfg.quant!r} "
+                         "(choose 'none' or 'int8')")
     if fold:
         from avdn_tpu.models.darknet import Darknet, fold_darknet_params
 
-        folded_dk = Darknet(darknet_model.cfg, dtype=darknet_model.dtype,
-                            folded=True)
+        if quant:
+            from avdn_tpu.models.darknet_quant import QuantDarknet
+
+            folded_dk = QuantDarknet(darknet_model.cfg,
+                                     dtype=darknet_model.dtype)
+        else:
+            folded_dk = Darknet(darknet_model.cfg, dtype=darknet_model.dtype,
+                                folded=True)
         models = (folded_dk, vln_model)
     else:
         models = (darknet_model, vln_model)
@@ -404,6 +420,13 @@ def make_eval_rollout(cfg: TrainConfig, bert_model, darknet_model, vln_model,
                 darknet_model.cfg, state.darknet_params, state.batch_stats,
                 input_std=RGB_STD,
             )
+            if quant:
+                from avdn_tpu.models.darknet_quant import (
+                    quantize_darknet_params,
+                )
+
+                trainable["darknet"] = quantize_darknet_params(
+                    darknet_model.cfg, trainable["darknet"])
             batch_stats = {}
         out, _ = _run_family_rollout(
             cfg, roll, models, bert_out, trainable, batch_stats, batch,

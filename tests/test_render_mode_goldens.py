@@ -59,11 +59,13 @@ MODES = {
     "twopass": dict(render_twopass=True, render_crop=0),   # auto-crop
     "twopass_bf16": dict(render_twopass=True, render_crop=0, bf16=True),
     "subsample2": dict(render_twopass=False, render_subsample=2),
+    # int8 vision tower on top of the shipped two-pass render (--quant int8)
+    "twopass_int8": dict(render_twopass=True, render_crop=0, quant="int8"),
 }
 
 # pin tolerance vs the committed golden (cross-version XLA noise)
 PIN_TOL = {"exact": 1e-3, "twopass": 1e-3, "twopass_bf16": 1e-2,
-           "subsample2": 1e-3}
+           "subsample2": 1e-3, "twopass_int8": 1e-2}
 
 # gate tolerances vs the exact mode, by metric family (see module docstring
 # for the measured deltas these bound)
@@ -73,6 +75,7 @@ GATE = {  # mode -> (nav rtol+atol, saliency atol)
     "twopass": (0.02, 0.25),
     "twopass_bf16": (0.05, 0.3),
     "subsample2": (0.02, 0.25),
+    "twopass_int8": (0.05, 0.3),
 }
 
 

@@ -119,6 +119,17 @@ def main(argv=None):
         jax.tree_util.tree_map(jnp.asarray, fp))
     print(f"darknet_folded_ms={out['darknet_folded_ms']:.3f}", file=sys.stderr, flush=True)
 
+    # int8 dynamic-quantized tower (--quant int8; 2x bf16 MXU peak on s8xs8)
+    from avdn_tpu.models.darknet_quant import (
+        quant_forward, quantize_darknet_params)
+    qp = quantize_darknet_params(dk.cfg, jax.tree_util.tree_map(jnp.asarray, fp))
+
+    def dk_int8(x, qp):
+        return jnp.sum(quant_forward(dk.cfg, qp, x))
+
+    out["darknet_int8_ms"] = _timed_loop(dk_int8, x_img, ns.iters, qp)
+    print(f"darknet_int8_ms={out['darknet_int8_ms']:.3f}", file=sys.stderr, flush=True)
+
     # language tower (both passes)
     ids = batch.ids_instr
 
