@@ -229,7 +229,11 @@ _HELP = {
 
 
 def parse_args(argv=None, family: str = "et") -> Args:
-    parser = argparse.ArgumentParser(description="avdn_tpu")
+    # allow_abbrev=False: _apply_preset detects explicitly-passed flags by
+    # scanning argv for the full field name; prefix abbreviations would
+    # evade that scan and get silently clobbered by the preset
+    parser = argparse.ArgumentParser(description="avdn_tpu",
+                                     allow_abbrev=False)
     defaults = Args(family=family)
     for f in dataclasses.fields(Args):
         if f.name in ("train_dataset_dir", "val_dataset_dir", "train_anno_dir",

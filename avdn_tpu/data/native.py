@@ -29,15 +29,32 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     src = os.path.abspath(
         os.path.join(_NATIVE_DIR, "avdn_host", "avdn_host.cpp"))
-    stale = (not os.path.exists(_LIB_PATH)
-             or (os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
-    if stale:
+
+    def _stale():
+        return (not os.path.exists(_LIB_PATH)
+                or (os.path.exists(src)
+                    and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+
+    if _stale():
+        # Concurrent workers may all find the .so stale at once; serialise
+        # the rebuild with an exclusive flock and build to a temp name that
+        # is atomically renamed into place, so a process dlopen()ing the
+        # library never sees a half-written file.
         try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-                check=True, capture_output=True, timeout=120,
-            )
+            import fcntl
+
+            lock_path = _LIB_PATH + ".lock"
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                if _stale():  # another process may have just rebuilt it
+                    tmp = _LIB_PATH + f".build.{os.getpid()}"
+                    subprocess.run(
+                        ["make", "-C", os.path.abspath(_NATIVE_DIR),
+                         f"TARGET={os.path.basename(tmp)}"],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                    os.replace(tmp, _LIB_PATH)
+                fcntl.flock(lock, fcntl.LOCK_UN)
         except Exception:
             if not os.path.exists(_LIB_PATH):
                 return None

@@ -9,9 +9,10 @@ with:
 
 * **weights**: per-output-channel symmetric int8
   (``scale = amax(|W|)/127`` over the (k, k, Cin) receptive field);
-* **activations**: per-tensor dynamic symmetric int8, the scale computed
-  from each layer input's running abs-max at call time (no calibration
-  dataset needed — matches serving reality where inputs vary per request);
+* **activations**: per-EXAMPLE dynamic symmetric int8, the scale computed
+  from each layer input's abs-max over its own (H, W, C) at call time (no
+  calibration dataset needed — and batch-invariant: a request's result
+  never depends on what it was co-batched with);
 * **accumulation**: int32 via ``preferred_element_type``, dequantized to
   float once per conv, bias added in float, leaky-ReLU in float.
 
@@ -60,8 +61,11 @@ def quantize_darknet_params(cfg: DarknetConfig, folded_params) -> Dict[str, Any]
 
 
 def _quant_act(x):
-    """Per-tensor dynamic symmetric int8 of an activation tensor."""
-    amax = jnp.max(jnp.abs(x))
+    """Per-example dynamic symmetric int8 of an activation tensor: the
+    abs-max is taken over everything BUT the batch axis, so one episode's
+    quantization (and therefore its serving result) never depends on which
+    other episodes it was co-batched with."""
+    amax = jnp.max(jnp.abs(x), axis=tuple(range(1, x.ndim)), keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / _QMAX
     q = jnp.clip(jnp.round(x / scale), -_QMAX, _QMAX)
     return q, scale

@@ -155,13 +155,20 @@ def _attend_two(q, k1, v1, bias1, k2, v2, bias2):
     m = jnp.where(jnp.isfinite(m), m, 0.0).astype(q.dtype)
     e1 = jnp.exp(l1 - m)   # -inf bias entries exp to exactly 0
     e2 = jnp.exp(l2 - m)
+    # a logit that overflowed to +inf (possible in bf16) on a -inf-masked
+    # position yields l = NaN -> e = NaN; zero it like _attend's NaN guard
+    # so it cannot poison the joint sum
+    e1 = jnp.where(jnp.isnan(e1), 0.0, e1)
+    e2 = jnp.where(jnp.isnan(e2), 0.0, e2)
     s = jnp.sum(e1, axis=-1, keepdims=True) + jnp.sum(
         e2, axis=-1, keepdims=True
     )
     o = jnp.einsum("bhqk,bhkd->bhqd", e1, v1) + jnp.einsum(
         "bhqk,bhkd->bhqd", e2, v2
     )
-    return jnp.where(s > 0, o / s, 0.0).astype(q.dtype)
+    # s == +inf means an UNMASKED logit overflowed; _attend zeroes such rows
+    # (its softmax NaNs out and the guard catches it) — match that here
+    return jnp.where((s > 0) & jnp.isfinite(s), o / s, 0.0).astype(q.dtype)
 
 
 def _layer_forward(p, x, bias, H, dtype):

@@ -138,3 +138,20 @@ def test_family_flag(tmp_path, monkeypatch):
     assert args.family == "lstm"
     args = parse_args(["--output_dir", "o", "--family", "et"], family="lstm")
     assert args.family == "et"
+
+
+def test_preset_abbreviated_flag_not_silently_clobbered(tmp_path, monkeypatch):
+    """allow_abbrev=False: a prefix abbreviation like --remat_pol is treated
+    as an unknown flag (reference parse_known_args semantics) instead of
+    being argparse-expanded and then silently overwritten by the preset
+    (ADVICE r4)."""
+    monkeypatch.chdir(tmp_path)
+    args = parse_args(["--output_dir", "o", "--preset", "production",
+                       "--remat_pol", "full"])
+    # the abbreviation was ignored entirely, not half-honored: the preset's
+    # value applies and nothing downstream saw a partially-parsed flag
+    assert args.remat_policy == "dots"
+    # the full name still counts as explicit and wins over the preset
+    args = parse_args(["--output_dir", "o", "--preset", "production",
+                       "--remat_policy", "full"])
+    assert args.remat_policy == "full"

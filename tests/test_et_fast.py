@@ -216,3 +216,51 @@ def test_bf16_decode_matches_bf16_module():
         np.asarray(fast_a[t], np.float32), np.asarray(ref_a, np.float32),
         atol=0.02, rtol=0.02,
     )
+
+
+class TestAttendTwo:
+    """Direct unit pins for the two-softmax merge (et_fast._attend_two)."""
+
+    def _rand(self, shape, seed):
+        return jnp.asarray(
+            np.random.default_rng(seed).normal(size=shape).astype(np.float32))
+
+    def test_matches_concat_attend(self):
+        B, H, Q, K1, K2, hd = 2, 3, 5, 7, 4, 8
+        q = self._rand((B, H, Q, hd), 0)
+        k1, v1 = self._rand((B, H, K1, hd), 1), self._rand((B, H, K1, hd), 2)
+        k2, v2 = self._rand((B, H, K2, hd), 3), self._rand((B, H, K2, hd), 4)
+        bias1 = jnp.where(
+            jnp.asarray(np.random.default_rng(5).random((B, 1, Q, K1)) < 0.3),
+            -jnp.inf, 0.0)
+        bias2 = jnp.zeros((B, 1, Q, K2))
+        got = et_fast._attend_two(q, k1, v1, bias1, k2, v2, bias2)
+        ref = et_fast._attend(
+            q, jnp.concatenate([k1, k2], 2), jnp.concatenate([v1, v2], 2),
+            jnp.concatenate([jnp.broadcast_to(bias1, (B, 1, Q, K1)),
+                             bias2], -1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_fully_masked_rows_are_zero(self):
+        B, H, Q, K, hd = 1, 2, 3, 4, 8
+        q = self._rand((B, H, Q, hd), 0)
+        k, v = self._rand((B, H, K, hd), 1), self._rand((B, H, K, hd), 2)
+        neg = jnp.full((B, 1, Q, K), -jnp.inf)
+        out = et_fast._attend_two(q, k, v, neg, k, v, neg)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_inf_logit_on_masked_position_no_nan(self):
+        """A +inf logit landing on a -inf-masked position (bf16 overflow
+        scenario) must not poison the row with NaN (ADVICE r4)."""
+        B, H, Q, K, hd = 1, 1, 2, 3, 4
+        q = jnp.full((B, H, Q, hd), 1e38)          # logits overflow to +inf
+        k = jnp.ones((B, H, K, hd))
+        v = self._rand((B, H, K, hd), 0)
+        # mask out position 0 of source 1 -> l = inf + (-inf) = NaN there
+        bias1 = jnp.asarray([[[[-jnp.inf, 0.0, 0.0]] * Q]])
+        k2 = jnp.zeros((B, H, K, hd))              # finite logits
+        v2 = self._rand((B, H, K, hd), 1)
+        bias2 = jnp.zeros((B, 1, Q, K))
+        out = et_fast._attend_two(q, k, v, bias1, k2, v2, bias2)
+        assert np.all(np.isfinite(np.asarray(out)))

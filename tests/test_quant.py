@@ -136,3 +136,17 @@ class TestEvalRolloutWiring:
         # same ballpark decisions: the int8 tower feeds the same trunk
         assert np.max(np.abs(a_q - a_ref)) < 0.15, (
             np.max(np.abs(a_q - a_ref)))
+
+
+def test_activation_quantization_is_batch_invariant(folded_tiny):
+    """Per-example activation scales (ADVICE r4): an episode's quantized
+    result must not depend on which other episodes share its batch."""
+    cfg, folded = folded_tiny
+    qp = quantize_darknet_params(cfg, folded)
+    x1 = jax.random.normal(jax.random.PRNGKey(3), (1, 224, 224, 3))
+    # co-batch with a 100x-hotter image; per-tensor scales would be blown out
+    x_hot = 100.0 * jax.random.normal(jax.random.PRNGKey(4), (1, 224, 224, 3))
+    solo = np.asarray(quant_forward(cfg, qp, x1))
+    batched = np.asarray(quant_forward(
+        cfg, qp, jnp.concatenate([x1, x_hot], axis=0)))[:1]
+    np.testing.assert_allclose(batched, solo, rtol=1e-5, atol=1e-5)
