@@ -30,9 +30,19 @@ def make_view(center, edge_deg, heading_deg=0.0):
     return base @ M.T + np.asarray(center, np.float64)
 
 
-def write_demo_dataset(root, n_train=4, n_val=2, map_px=256, seed=0):
+def write_demo_dataset(root, n_train=8, n_val=16, map_px=256, seed=0):
     """Create root/AVDN/{annotations,train_images} with synthetic data.
-    Returns the root."""
+    Returns the root.
+
+    The episode mix is designed so thresholded navigation metrics are
+    EXERCISABLE, not vacuously zero: half of each split's episodes are
+    "near-goal" (short 1-step paths whose destination view heavily overlaps
+    the start view — a lightly-trained policy genuinely converts some into
+    SR successes, the way the reference's released checkpoint succeeds on
+    15-19% of real episodes, datasets/XVIEW/et_haa_test/logs/valid.txt:4,11)
+    and half are "far" multi-step navigation episodes. Headings, view edges
+    (zoom), per-step zoom drift, path lengths, and dialog-round counts all
+    vary, so the round/length metric slices are populated."""
     rng = np.random.default_rng(seed)
     anno_dir = os.path.join(root, "AVDN", "annotations")
     img_dir = os.path.join(root, "AVDN", "train_images")
@@ -54,20 +64,31 @@ def write_demo_dataset(root, n_train=4, n_val=2, map_px=256, seed=0):
     def make_items(n, start_ridx=0):
         items = []
         for i in range(n):
-            edge = rng.uniform(60, 120) / DEG_TO_M
-            margin = 1.5 * edge
+            near = i % 2 == 0  # half near-goal, half multi-step far episodes
+            if near:
+                edge = rng.uniform(50, 80) / DEG_TO_M
+                n_steps = 2
+                step_frac = rng.uniform(0.05, 0.2)
+            else:
+                edge = rng.uniform(60, 120) / DEG_TO_M
+                n_steps = int(rng.integers(2, 5))
+                step_frac = 0.8
+            margin = 1.6 * edge
             c = np.array(botm_left) + rng.uniform(margin, extent - margin, 2)
             heading = float(rng.integers(0, 360))
-            n_steps = int(rng.integers(2, 5))
             path = []
             step = rng.uniform(-1, 1, 2)
             step /= np.linalg.norm(step)
             for _k in range(n_steps):
-                path.append(make_view(c, edge, heading).tolist())
-                c = np.clip(c + step * edge * 0.8,
+                ek = edge * rng.uniform(0.9, 1.1)  # per-step zoom drift
+                path.append(make_view(c, ek, heading).tolist())
+                c = np.clip(c + step * edge * step_frac,
                             np.array(botm_left) + margin,
                             np.array(top_right) - margin)
             att = [[[float(c[0]), float(c[1])], int(rng.integers(10, 40))]]
+            pre = ["[QUE] where should i go next? [INS] head north over the road."]
+            if i % 3 == 0:  # vary dialog-round count (sr_1/sr_2 slices)
+                pre.append("[QUE] am i close yet? [INS] keep going forward.")
             items.append(
                 {
                     "map_name": "fixmapA" if i % 2 == 0 else "fixmapB",
@@ -75,9 +96,7 @@ def write_demo_dataset(root, n_train=4, n_val=2, map_px=256, seed=0):
                     "angle": heading + rng.uniform(-0.4, 0.4),
                     "gt_path_corners": path,
                     "instructions": f"Fly TOWARD the gray building number {i} [SEP]",
-                    "pre_dialogs": [
-                        "[QUE] where should i go next? [INS] head north over the road."
-                    ],
+                    "pre_dialogs": pre,
                     "attention_list": att,
                     "lat_ratio": lat_ratio,
                     "lng_ratio": lng_ratio,
@@ -100,8 +119,8 @@ def main(argv=None) -> None:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True, help="dataset root to create")
-    ap.add_argument("--n_train", type=int, default=4)
-    ap.add_argument("--n_val", type=int, default=2)
+    ap.add_argument("--n_train", type=int, default=8)
+    ap.add_argument("--n_val", type=int, default=16)
     ap.add_argument("--map_px", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
     ns = ap.parse_args(argv)

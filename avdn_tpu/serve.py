@@ -80,6 +80,7 @@ class Navigator:
             else:  # released torch checkpoint
                 bert_v, dk_v, vln_v, _ = ckpt.import_reference_agent(
                     args.resume_file, args.family, darknet.cfg.block_dicts(),
+                    bert_layers=args.bert_layers,
                     et_layers=args.encoder_layers,
                 )
                 state = state.replace(
@@ -102,6 +103,11 @@ class Navigator:
             compute_losses=False,
         ))
         self._rng = jax.random.PRNGKey(args.seed)
+        # cumulative host/device phase profile of every navigate() call —
+        # tools/bench_serving.py reports it; near-free to keep always-on
+        from avdn_tpu.utils import PhaseTimer
+
+        self.timers = PhaseTimer()
 
     @classmethod
     def from_args(cls, argv: Optional[List[str]] = None,
@@ -158,12 +164,15 @@ class Navigator:
             """Host batch assembly (GeoTIFF decode, tokenisation, numpy
             batch build) — on the prefetch thread it overlaps the device
             rollout of the previous chunk, like the train/eval drivers."""
-            bank_arr, slot_of = self.bank.prepare(chunk)
-            batch, meta = make_train_batch(chunk, self.tokenizer, slot_of,
-                                           self.bcfg)
+            with self.timers("map_bank"):
+                bank_arr, slot_of = self.bank.prepare(chunk)
+            with self.timers("batch_build"):
+                batch, meta = make_train_batch(chunk, self.tokenizer,
+                                               slot_of, self.bcfg)
             if not self.runtime.multiprocess:
-                bank_arr = self.runtime.place_bank(bank_arr)
-                batch = self.runtime.shard_batch(batch)
+                with self.timers("device_place"):
+                    bank_arr = self.runtime.place_bank(bank_arr)
+                    batch = self.runtime.shard_batch(batch)
             return bank_arr, batch, meta
 
         many = len(items) > B
@@ -173,16 +182,21 @@ class Navigator:
             prepared = Prefetcher(_chunks(), _prepare, depth=2)
         else:  # single chunk: a prefetch thread would only add latency
             prepared = (_prepare(c) for c in _chunks())
+        def _drain(pending):
+            out, pmeta = pending
+            with self.timers("device_wait"):
+                out = jax.device_get(out)
+            with self.timers("assemble"):
+                preds.update(assemble_trajectories(out, pmeta))
+
         pending = None  # (launched device call, meta) — drain one behind
         for bank_arr, batch, meta in prepared:
             if pending is not None:
-                out, pmeta = pending
-                preds.update(assemble_trajectories(jax.device_get(out),
-                                                   pmeta))
+                _drain(pending)
             # launch is async; the host returns to assembling/draining
-            pending = (self._rollout(state, bank_arr, batch, self._rng),
-                       meta)
+            with self.timers("dispatch"):
+                pending = (self._rollout(state, bank_arr, batch, self._rng),
+                           meta)
         if pending is not None:
-            out, pmeta = pending
-            preds.update(assemble_trajectories(jax.device_get(out), pmeta))
+            _drain(pending)
         return preds

@@ -795,7 +795,7 @@ def valid(args: Args):
             # released torch checkpoint
             bert_v, dk_v, vln_v, epoch = ckpt.import_reference_agent(
                 args.resume_file, args.family, darknet.cfg.block_dicts(),
-                et_layers=args.encoder_layers,
+                bert_layers=args.bert_layers, et_layers=args.encoder_layers,
             )
             state = state.replace(
                 bert_params=bert_v["params"],

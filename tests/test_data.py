@@ -57,7 +57,7 @@ class TestAnnotations:
     def test_load_and_normalise(self, fixture_root):
         data = load_annotations(os.path.join(fixture_root, "AVDN", "annotations"),
                                 ["train"])
-        assert len(data) == 4
+        assert len(data) == 8
         item = data[0]
         assert isinstance(item["angle"], int) and 0 <= item["angle"] < 360
         assert item["instructions"] == item["instructions"].lower()
@@ -69,7 +69,7 @@ class TestAnnotations:
                          ["train"], batch_size=3, seed=0)
         batches = list(ds)
         assert all(len(b) == 3 for b in batches)
-        assert len(batches) == 2  # 4 items → 2 batches of 3 (with refill)
+        assert len(batches) == 3  # 8 items → 3 batches of 3 (with refill)
 
     def test_shard_ownership_disjoint_and_complete(self, fixture_root):
         """Every instr_id is OWNED by exactly one process shard; wrap-around
@@ -287,7 +287,7 @@ class TestFullTrajectoryMode:
         ds = ANDHDataset(anno, ["train"], 2, seed=0, full_traj=True)
         # fixture items are single-round: one episode per item, each with the
         # goal view appended
-        assert ds.size() == 4
+        assert ds.size() == 8
         for it in ds.data:
             assert isinstance(it["gt_path_corners"][-1], np.ndarray)
 

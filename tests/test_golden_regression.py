@@ -35,7 +35,10 @@ RTOL, ATOL = 1e-3, 1e-3
 
 def _run_fixture_flow(tmp_path_factory):
     """The frozen configuration: fixture dataset seed 0, ET family, 2 train
-    intervals + full validation per interval. Returns {step/metric: value}."""
+    intervals + full validation per interval, lr high enough (1e-3) that the
+    progress head genuinely learns to stop near-goal episodes — the pinned
+    SR/OSR/SPL are NON-zero (the thresholded metrics are exercised, not
+    vacuous). Returns {step/metric: value}."""
     from avdn_tpu.train.loop import train
 
     root = write_fixture_dataset(str(tmp_path_factory.mktemp("andh_gold")))
@@ -43,7 +46,8 @@ def _run_fixture_flow(tmp_path_factory):
     cfg_path = os.path.join(out, "tiny_yolo.cfg")
     with open(cfg_path, "w") as f:
         f.write(TINY_DARKNET_CFG)
-    args = make_args(root, out, cfg_path, iters=2, log_every=1, seed=0)
+    args = make_args(root, out, cfg_path, iters=8, log_every=1, seed=0,
+                     lr=1e-3)
     train(args)
     recs = [json.loads(l) for l in
             open(os.path.join(args.log_dir, "metrics.jsonl"))]
@@ -63,6 +67,12 @@ def test_golden_e2e_metrics(tmp_path_factory):
     got = _run_fixture_flow(tmp_path_factory)
     assert any("spl/val_unseen" in k for k in got)
     assert any("nss/" in k for k in got)
+    # the fixture must keep success ACHIEVABLE: a pinned all-zero SR would
+    # make every thresholded-metric gate in the suite vacuous (VERDICT r4)
+    assert any(k.startswith("8/sr/") and v > 0 for k, v in got.items()), (
+        "no val split has SR>0 after training — the fixture no longer "
+        "exercises the thresholded metrics"
+    )
     if os.environ.get("AVDN_UPDATE_GOLDEN") == "1":
         os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
         with open(GOLDEN_PATH, "w") as f:

@@ -106,6 +106,9 @@ def run(ns) -> dict:
 
     # warmup: pays the jit compile + first GeoTIFF decodes
     _post(base + "/navigate", {"items": pool[: ns.items_per_request]})
+    from avdn_tpu.utils import PhaseTimer
+
+    nav.timers = PhaseTimer()  # profile the measured window only
 
     latencies, done = [], []
     lock = threading.Lock()
@@ -155,6 +158,9 @@ def run(ns) -> dict:
         "config": "tiny" if ns.tiny else "flagship",
         "bf16": ns.bf16,
     }
+    # cumulative Navigator host/device phase profile over the measured
+    # window (serve.py instruments every navigate() call)
+    out["nav_phase_profile"] = nav.timers.summary()
     if tmp:
         out["dataset"] = "demo-fixture"
     return out

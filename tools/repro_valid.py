@@ -66,6 +66,19 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=16,
                     help="eval batch (metrics are batch-invariant, "
                          "PARITY.md #8)")
+    # model-shape overrides, defaulting to the reference configuration
+    # (validation_args.json). Used by the dress-rehearsal e2e test
+    # (tests/test_repro_valid.py) to drive the FULL asset-day path with
+    # CI-sized models on synthetic release-layout assets.
+    ap.add_argument("--demb", type=int, default=768)
+    ap.add_argument("--bert_layers", type=int, default=12)
+    ap.add_argument("--encoder_heads", type=int, default=12)
+    ap.add_argument("--encoder_layers", type=int, default=2)
+    ap.add_argument("--max_instr_len", type=int, default=100)
+    ap.add_argument("--dialog_pad", type=int, default=320)
+    ap.add_argument("--map_bank_px", type=int, default=4096)
+    ap.add_argument("--map_bank_slots", type=int, default=8)
+    ap.add_argument("--max_action_len", type=int, default=5)
     ns = ap.parse_args(argv)
 
     need, missing, ckpt = find_assets(ns.root_dir, ns.resume_file)
@@ -86,8 +99,15 @@ def main(argv=None):
         inference=True,
         resume_file=ckpt,
         batch_size=ns.batch_size,
-        max_action_len=5,
-        max_instr_len=100,
+        max_action_len=ns.max_action_len,
+        max_instr_len=ns.max_instr_len,
+        dialog_pad=ns.dialog_pad,
+        demb=ns.demb,
+        bert_layers=ns.bert_layers,
+        encoder_heads=ns.encoder_heads,
+        encoder_layers=ns.encoder_layers,
+        map_bank_px=ns.map_bank_px,
+        map_bank_slots=ns.map_bank_slots,
         feedback="student",
         darknet_model_file=need["yolo_v3.cfg"],
         bert_vocab_file=need["bert vocab.txt"],
