@@ -215,8 +215,11 @@ _HELP = {
                        "deterministic mode only; models/et_fast.py). Train "
                        "always uses the full re-encode (dropout)",
     "et_decode_trunk": "eval scans: incremental KV-decode of the ET trunk "
-                       "(same math). Opt-in: wins ~3% at short dialogs, "
-                       "measured slower at max_instr_len 100 (PERF.md "
+                       "(same math; two-softmax language/history merge). "
+                       "Post-merge it measures +2-6%% at every point, but "
+                       "its 1e-5 reassociation flips one borderline "
+                       "fixture episode across render modes, so the "
+                       "shipped default stays the full re-encode (PERF.md "
                        "'Eval-trunk reformulations')",
     "async_ckpt": "background orbax checkpoint writes",
     "prefetch": "overlap host batch assembly with device steps",

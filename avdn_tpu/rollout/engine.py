@@ -116,10 +116,14 @@ class RolloutConfig:
     # two-pass HA eval (PERF.md "Eval-trunk reformulations").
     et_decode_trunk: bool = False      # ET family, eval scans only: decode
     # the trunk incrementally (per step only the two new tokens attend
-    # cached language+history K/V) — also exact, but measured SLOWER at
-    # realistic dialog lengths (the per-step key concat is data movement the
-    # full re-encode fuses away; PERF.md). Opt-in for short-dialog serving
-    # (+3% at L≈24).
+    # cached language+history K/V) — also exact up to reassociation. The
+    # two-softmax language/history merge (models/et_fast.py:_attend_two)
+    # keeps the episode-constant language cache out of the scan body;
+    # post-merge it measures +2-6% at every point, but its 1e-5
+    # reassociation flips one borderline fixture episode across render
+    # modes (the golden gate caught it), so it stays opt-in — the shipped
+    # default keeps the flips=0 render-mode identity. PERF.md "Eval-trunk
+    # reformulations".
 
 
 @flax.struct.dataclass
@@ -407,7 +411,9 @@ def make_et_step(
     the two new tokens (frame t, direction t) run through the trunk against
     cached language + history keys/values (models/et_fast.py). Same outputs
     — the causal masks make every history token step-invariant. Opt-in:
-    measured slower at realistic dialog lengths (PERF.md)."""
+    wins +2-6% everywhere post two-softmax-merge, but kept off the default
+    path because its reassociation flips a borderline golden-gate episode
+    across render modes (PERF.md)."""
     B = batch.lang_feat.shape[0]
     T = cfg.max_action_len
 

@@ -78,7 +78,7 @@ class TrainConfig:
     remat_policy: str = "full"    # "full" | "dots" (save matmul outputs)
     fused_teacher: bool = True    # time-fused teacher rollouts (rollout/fused.py)
     fast_eval_trunk: bool = True  # one-pass teacher eval trunk (et_fast.py)
-    et_decode_trunk: bool = False  # incremental eval scan decode (opt-in)
+    et_decode_trunk: bool = False  # incremental eval scan decode (opt-in; PERF.md)
     quant: str = "none"           # "none" | "int8" eval/serving tower (opt-in)
 
     def rollout_cfg(self, teacher: bool, nss_w: float, train: bool = True,
