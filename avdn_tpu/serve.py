@@ -103,6 +103,7 @@ class Navigator:
             compute_losses=False,
         ))
         self._rng = jax.random.PRNGKey(args.seed)
+        self._local_state = None  # multiprocess: host copy, fetched once
         # cumulative host/device phase profile of every navigate() call —
         # tools/bench_serving.py reports it; near-free to keep always-on
         from avdn_tpu.utils import PhaseTimer
@@ -136,67 +137,89 @@ class Navigator:
         it.setdefault("attention_list", [])
         return it
 
+    # -- pipeline stages ---------------------------------------------------
+    # navigate() composes these; serve_http's dispatcher drives them
+    # directly so the host assembly of request batch i+1 overlaps the
+    # device rollout of batch i ACROSS requests (inside one navigate()
+    # call the same overlap only engages when items > serve_batch).
+
+    def prepare(self, chunk: List[dict]):
+        """Host batch assembly (GeoTIFF decode into the persistent map
+        bank, tokenisation, numpy batch build, device placement) for ONE
+        ≤ ``serve_batch`` chunk of already-normalized items. Pure host +
+        async-transfer work — safe to run while a previous ``launch`` is
+        still executing on device (the bank update builds a NEW array; the
+        in-flight rollout keeps its own)."""
+        from avdn_tpu.data.batcher import make_train_batch
+
+        chunk = list(chunk)
+        while len(chunk) < self.serve_batch:  # pad; dropped via meta["valid"]
+            chunk = chunk + [dict(chunk[0], _pad=True)]
+        with self.timers("map_bank"):
+            bank_arr, slot_of = self.bank.prepare(chunk)
+        with self.timers("batch_build"):
+            batch, meta = make_train_batch(chunk, self.tokenizer,
+                                           slot_of, self.bcfg)
+        if not self.runtime.multiprocess:
+            with self.timers("device_place"):
+                bank_arr = self.runtime.place_bank(bank_arr)
+                batch = self.runtime.shard_batch(batch)
+        return bank_arr, batch, meta
+
+    def launch(self, prepared):
+        """Dispatch the compiled rollout for a ``prepare``d chunk. Async —
+        returns a pending handle immediately; the host is free to prepare
+        the next chunk while the device runs."""
+        import jax
+
+        bank_arr, batch, meta = prepared
+        state = self.state
+        if self.runtime.multiprocess:
+            # serving is per-process: use a local copy (mirrors _eval_env)
+            if self._local_state is None:
+                self._local_state = jax.device_get(self.state)
+            state = self._local_state
+        with self.timers("dispatch"):
+            return self._rollout(state, bank_arr, batch, self._rng), meta
+
+    def drain(self, pending) -> Dict[str, dict]:
+        """Block on a ``launch``ed rollout and assemble its predictions."""
+        import jax
+
+        from avdn_tpu.metrics import assemble_trajectories
+
+        out, meta = pending
+        with self.timers("device_wait"):
+            out = jax.device_get(out)
+        with self.timers("assemble"):
+            return assemble_trajectories(out, meta)
+
     def navigate(self, items: List[dict]) -> Dict[str, dict]:
         """Predicted trajectories for ANDH items, keyed by instr_id. Each
         record: ``path_corners`` [(corners (4,2) gps-offset, heading°), …],
         ``actions`` [[waypoint_ratio (2,), altitude], …], ``progress``."""
-        import jax
-
-        from avdn_tpu.data.batcher import make_train_batch
-        from avdn_tpu.metrics import assemble_trajectories
-
         items = [self._normalize_item(it) for it in items]
         preds: Dict[str, dict] = {}
-        state = self.state
-        if self.runtime.multiprocess:
-            # serving is per-process: use a local copy (mirrors _eval_env)
-            state = jax.device_get(state)
         B = self.serve_batch
 
         def _chunks():
             for lo in range(0, len(items), B):
-                chunk = items[lo : lo + B]
-                while len(chunk) < B:  # pad; dropped via meta["valid"]
-                    chunk = chunk + [dict(chunk[0], _pad=True)]
-                yield chunk
-
-        def _prepare(chunk):
-            """Host batch assembly (GeoTIFF decode, tokenisation, numpy
-            batch build) — on the prefetch thread it overlaps the device
-            rollout of the previous chunk, like the train/eval drivers."""
-            with self.timers("map_bank"):
-                bank_arr, slot_of = self.bank.prepare(chunk)
-            with self.timers("batch_build"):
-                batch, meta = make_train_batch(chunk, self.tokenizer,
-                                               slot_of, self.bcfg)
-            if not self.runtime.multiprocess:
-                with self.timers("device_place"):
-                    bank_arr = self.runtime.place_bank(bank_arr)
-                    batch = self.runtime.shard_batch(batch)
-            return bank_arr, batch, meta
+                yield items[lo : lo + B]
 
         many = len(items) > B
         if many:
             from avdn_tpu.data.prefetch import Prefetcher
 
-            prepared = Prefetcher(_chunks(), _prepare, depth=2)
+            prepared = Prefetcher(_chunks(), self.prepare, depth=2)
         else:  # single chunk: a prefetch thread would only add latency
-            prepared = (_prepare(c) for c in _chunks())
-        def _drain(pending):
-            out, pmeta = pending
-            with self.timers("device_wait"):
-                out = jax.device_get(out)
-            with self.timers("assemble"):
-                preds.update(assemble_trajectories(out, pmeta))
+            prepared = (self.prepare(c) for c in _chunks())
 
-        pending = None  # (launched device call, meta) — drain one behind
-        for bank_arr, batch, meta in prepared:
+        pending = None  # launched device call — drain one behind
+        for prep in prepared:
             if pending is not None:
-                _drain(pending)
+                preds.update(self.drain(pending))
             # launch is async; the host returns to assembling/draining
-            with self.timers("dispatch"):
-                pending = (self._rollout(state, bank_arr, batch, self._rng),
-                           meta)
+            pending = self.launch(prep)
         if pending is not None:
-            _drain(pending)
+            preds.update(self.drain(pending))
         return preds

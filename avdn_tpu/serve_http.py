@@ -152,13 +152,19 @@ class NavigatorService:
         self._thread.join(timeout=5)
 
     # -- dispatcher side -------------------------------------------------
-    def _drain(self) -> List[_Pending]:
-        """Wait for work, then coalesce: keep accepting requests for up to
-        ``max_wait_s`` after the first one, or until ``serve_batch`` items
-        are pending. Runs under the lock."""
-        while not self._queue and not self._closed:
-            self._lock.wait()
-        if self._closed and not self._queue:
+    def _drain(self, in_flight: bool) -> List[_Pending]:
+        """Coalesce queued requests: keep accepting for up to ``max_wait_s``
+        after the first one, or until ``serve_batch`` items are pending.
+        With a device batch ``in_flight`` the initial wait is bounded (the
+        dispatcher must come back to drain it); otherwise it blocks until
+        work arrives or the service closes. Runs under the lock."""
+        if in_flight:
+            if not self._queue and not self._closed:
+                self._lock.wait(timeout=self.max_wait_s)
+        else:
+            while not self._queue and not self._closed:
+                self._lock.wait()
+        if not self._queue:
             return []
         cap = self.nav.serve_batch
         deadline = _now() + self.max_wait_s
@@ -175,30 +181,70 @@ class NavigatorService:
             n += len(p.items)
         return batch
 
+    @staticmethod
+    def _fail(batch: List[_Pending], e: BaseException):
+        for p in batch:
+            p.error = e
+            p.event.set()
+
+    def _respond(self, pending):
+        """Drain a launched device batch and wake its waiters."""
+        handle, batch = pending
+        try:
+            preds = self.nav.drain(handle)
+            self.batches_run += 1
+            for p in batch:
+                recs = []
+                for tag_id, orig_id in p.ids:
+                    rec = dict(preds[tag_id])
+                    rec["instr_id"] = orig_id or tag_id
+                    recs.append(rec)
+                p.result = recs
+                self.requests_served += 1
+            for p in batch:
+                p.event.set()
+        except BaseException as e:  # propagate to every waiter
+            self._fail(batch, e)
+
     def _run(self):
+        """Software-pipelined dispatch loop. The device launch is async, so
+        while batch i runs on device the dispatcher coalesces AND
+        host-prepares batch i+1 (GeoTIFF decode, tokenisation, numpy batch
+        build) — without this the host assembly serialises behind every
+        device rollout, which measured as the dominant e2e serving cost
+        after the device itself (PERF.md "End-to-end serving")."""
+        pending = None  # (launched device handle, [_Pending, ...])
         while True:
             with self._lock:
-                batch = self._drain()
-            if not batch:
-                return  # closed and drained
-            try:
-                preds = self.nav.navigate(
-                    [it for p in batch for it in p.items])
-                self.batches_run += 1
-                for p in batch:
-                    recs = []
-                    for tag_id, orig_id in p.ids:
-                        rec = dict(preds[tag_id])
-                        rec["instr_id"] = orig_id or tag_id
-                        recs.append(rec)
-                    p.result = recs
-                    self.requests_served += 1
-            except BaseException as e:  # propagate to every waiter
-                for p in batch:
-                    p.error = e
-            finally:
-                for p in batch:
-                    p.event.set()
+                batch = self._drain(in_flight=pending is not None)
+                closed = self._closed
+            prepared = None
+            if batch:
+                # oversized coalesced batches can't happen (_drain caps at
+                # serve_batch), so one prepare == one compiled device call
+                try:
+                    prepared = self.nav.prepare(
+                        [it for p in batch for it in p.items])
+                except BaseException as e:
+                    self._fail(batch, e)
+                    batch = None
+            # launch i+1 BEFORE draining/responding to i: dispatch is
+            # async, the device queue executes in order, so the device is
+            # re-fed before the host spends time on device_get + assembly
+            # + waking waiters for the finished batch
+            next_pending = None
+            if prepared is not None:
+                try:
+                    next_pending = (self.nav.launch(prepared), batch)
+                except BaseException as e:
+                    self._fail(batch, e)
+            if pending is not None:
+                self._respond(pending)
+            pending = next_pending
+            if pending is None and closed:
+                with self._lock:
+                    if not self._queue:
+                        return  # closed and drained
 
 
 def _now() -> float:
