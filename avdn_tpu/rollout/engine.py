@@ -159,17 +159,33 @@ def _corners_to_img(corners, extent, lat_ratio):
 
 def render_views(map_bank, batch: EpisodeBatch, corners, cfg: RolloutConfig):
     """Render the batch's current views + GT saliency (one copy of the
-    render dispatch, shared by the scan body and the fused teacher path)."""
+    render dispatch, shared by the scan body and the fused teacher path).
+
+    The outputs are tagged ``checkpoint_name("rendered_views")`` — OUTSIDE
+    the render's own jit boundary so the name eqn sits directly in the
+    (possibly rematted) scan-body jaxpr. Rationale: the simulator feedback
+    is detached (no gradient flows back through the render), so under
+    ``--remat`` recomputing the render in the backward pass is pure waste
+    — yet ``--remat_policy dots`` was recomputing it anyway, because the
+    two-pass tent einsums carry a batch dimension (``xhv,hxc->xvc``) that
+    ``dots_with_no_batch_dims_saveable`` refuses to save. The "dots"
+    policy therefore also saves these named outputs (profiled: the
+    rematted render region was ~10% of the production train step)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     quad_img = _corners_to_img(corners, batch.extent, batch.lat_ratio)
     if cfg.render_twopass:
-        return render_batch_twopass(
+        out = render_batch_twopass(
             map_bank, batch.map_idx, quad_img, batch.circles,
             batch.n_circles, crop_hw=cfg.render_crop, bf16=cfg.render_bf16,
         )
-    return render_batch(
-        map_bank, batch.map_idx, quad_img, batch.circles,
-        batch.n_circles, subsample=cfg.render_subsample,
-    )
+    else:
+        out = render_batch(
+            map_bank, batch.map_idx, quad_img, batch.circles,
+            batch.n_circles, subsample=cfg.render_subsample,
+        )
+    return jax.tree_util.tree_map(
+        lambda x: checkpoint_name(x, "rendered_views"), out)
 
 
 def decode_action(action):
@@ -358,7 +374,14 @@ def rollout(
     # prevent_cse=False: safe (and faster) under lax.scan, which already
     # provides the barrier jax.checkpoint's CSE workaround exists for
     if cfg.remat:
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        # "dots" also saves the render outputs (checkpoint_name-tagged in
+        # render_views): the render is gradient-free (detached simulator
+        # feedback) so its backward-pass recompute is pure waste, and the
+        # tent einsums' batch dim keeps dots_with_no_batch_dims_saveable
+        # from saving them on its own (see render_views docstring)
+        policy = (jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("rendered_views"))
                   if cfg.remat_policy == "dots" else None)
         body_fn = jax.checkpoint(body, prevent_cse=False, policy=policy)
     else:

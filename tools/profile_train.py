@@ -102,13 +102,29 @@ def _is_device_plane(name: str) -> bool:
             or "xla op" in low) and "host" not in low
 
 
+_ASYNC_PREFIXES = ("copy-start", "copy-done", "async-start", "async-done",
+                   "slice-start", "slice-done", "all-reduce-start",
+                   "all-gather-start", "collective-permute-start")
+
+
 def analyze(trace_dir: str, steps: int) -> dict:
-    """Aggregate device-plane op durations by HLO category and op name."""
+    """Aggregate device-plane op SELF time by HLO category and op name.
+
+    XLA op-trace events NEST (a ``while`` envelopes its body ops; fusions
+    inside it appear as child events on the same line) and async ops
+    (``copy-start``/``slice-start`` DMA) SPAN the compute they overlap — a
+    flat duration sum therefore multi-counts wildly. Self time = duration
+    minus directly-nested children, computed per line with an interval
+    stack; async-prefixed ops are bucketed apart (they are overlapped DMA,
+    not critical-path compute)."""
     by_cat = defaultdict(float)
     by_op = defaultdict(float)
-    op_scope = {}
-    plane_names, total_ps = [], 0.0
+    async_ms = defaultdict(float)
+    op_scope, op_cat = {}, {}
+    plane_names = []
+    total_self_ps = 0.0
     span_lo, span_hi = float("inf"), 0.0
+    busy_ps = 0.0  # union of sync-op intervals (utilization numerator)
     for xs in _load_xspaces(trace_dir):
         for plane in xs.planes:
             if not _is_device_plane(plane.name):
@@ -133,17 +149,13 @@ def analyze(trace_dir: str, steps: int) -> dict:
                          if "step" not in l.name.lower()
                          and "module" not in l.name.lower()]
             for line in lines:
+                evs = []
                 for ev in line.events:
                     md = emeta.get(ev.metadata_id)
                     name = md.name if md else f"op{ev.metadata_id}"
                     # metadata names carry the full HLO instruction text;
                     # keep the "%opname" identifier (unique per HLO op)
                     name = name.split(" = ", 1)[0].strip().lstrip("%")
-                    dur = ev.duration_ps
-                    total_ps += dur
-                    lo = line.timestamp_ns * 1000 + ev.offset_ps
-                    span_lo = min(span_lo, lo)
-                    span_hi = max(span_hi, lo + dur)
                     cat, scope = "", ""
                     stats = list(ev.stats) + (list(md.stats) if md else [])
                     for st in stats:
@@ -153,17 +165,57 @@ def analyze(trace_dir: str, steps: int) -> dict:
                             cat = _stat_str(st) or cat
                         elif sname in ("tf_op", "hlo_op", "tf_op_name"):
                             scope = scope or _stat_str(st)
-                    by_cat[cat or _guess_category(name)] += dur
-                    by_op[name] += dur
+                    start = ev.offset_ps
+                    evs.append((start, start + ev.duration_ps, name, cat,
+                                scope))
+                    lo = line.timestamp_ns * 1000 + ev.offset_ps
+                    span_lo = min(span_lo, lo)
+                    span_hi = max(span_hi, lo + ev.duration_ps)
+                # nesting: sort by (start, -duration) so parents precede
+                # the children they contain; stack of open intervals
+                evs.sort(key=lambda e: (e[0], -(e[1] - e[0])))
+                stack = []  # [start, end, child_sum, name, cat, scope]
+                busy_end = 0.0
+
+                def _close(fr):
+                    start, end, child, name, cat, scope = fr
+                    self_ps = max(0.0, (end - start) - child)
+                    by_op[name] += self_ps
+                    by_cat[cat or _guess_category(name)] += self_ps
                     if scope:
                         op_scope[name] = scope
-    dev_ms = total_ps / 1e9
+                    if cat:
+                        op_cat[name] = cat
+                    return self_ps
+
+                for start, end, name, cat, scope in evs:
+                    if name.startswith(_ASYNC_PREFIXES):
+                        # overlapped DMA: bucket apart, keep OFF the
+                        # nesting stack (async spans straddle sync ops and
+                        # would corrupt the containment invariant)
+                        async_ms[name.split(".")[0]] += end - start
+                        continue
+                    while stack and stack[-1][1] <= start:
+                        total_self_ps += _close(stack.pop())
+                    if stack:
+                        stack[-1][2] += end - start
+                    busy_ps += max(0.0, end - max(busy_end, start))
+                    busy_end = max(busy_end, end)
+                    stack.append([start, end, 0.0, name, cat, scope])
+                while stack:
+                    total_self_ps += _close(stack.pop())
+    dev_ms = total_self_ps / 1e9
+    span_ms = ((span_hi - span_lo) / 1e9) if span_hi > span_lo else 0.0
     out = {
         "device_planes": sorted(set(plane_names)),
-        "device_op_ms_total": round(dev_ms, 3),
-        "device_op_ms_per_step": round(dev_ms / max(steps, 1), 3),
-        "trace_span_ms": round((span_hi - span_lo) / 1e9, 3)
-        if span_hi > span_lo else 0.0,
+        "device_self_ms_total": round(dev_ms, 3),
+        "device_self_ms_per_step": round(dev_ms / max(steps, 1), 3),
+        "trace_span_ms": round(span_ms, 3),
+        "device_busy_pct_of_span": round(100 * busy_ps / 1e9 / span_ms, 1)
+        if span_ms else 0.0,
+        "async_dma_ms": {k: round(v / 1e9, 3)
+                         for k, v in sorted(async_ms.items(),
+                                            key=lambda kv: -kv[1])},
         "by_category_ms": {
             k or "(uncategorized)": round(v / 1e9, 3)
             for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
@@ -172,7 +224,8 @@ def analyze(trace_dir: str, steps: int) -> dict:
             {
                 "op": k,
                 "ms": round(v / 1e9, 3),
-                "pct": round(100 * v / max(total_ps, 1), 1),
+                "pct": round(100 * v / max(total_self_ps, 1), 1),
+                "cat": op_cat.get(k, ""),
                 "scope": op_scope.get(k, ""),
             }
             for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:25]
