@@ -35,6 +35,8 @@ def bench(monkeypatch):
     # skip the opt-in extra rows (each would cold-compile on real hardware)
     monkeypatch.setenv("AVDN_BENCH_SERVING", "0")
     monkeypatch.setenv("AVDN_BENCH_TRAIN_FAST", "0")
+    # default-ON since round 5; off here (it would build a REAL Navigator)
+    monkeypatch.setenv("AVDN_BENCH_SERVING_E2E", "0")
     monkeypatch.delenv("AVDN_BENCH_LSTM", raising=False)
     monkeypatch.setattr(mod, "_enable_compile_cache", lambda: None)
     return mod
@@ -79,6 +81,38 @@ def test_happy_path_schema(bench, monkeypatch):
     assert "eval_exact_mfu_pct_v5e_bf16_peak" in out
     assert "headline_note" not in out
     assert not any(k.endswith("_bench_error") for k in out)
+
+
+def test_serving_e2e_row_default_on(bench, monkeypatch):
+    """The full-stack serving row (round 5) runs by DEFAULT and lands its
+    three keys in the JSON; =0 skips it. Stubbed: the real runner builds a
+    Navigator + HTTP server (tools/bench_serving.py)."""
+    import sys
+    import types
+
+    monkeypatch.setattr(
+        bench, "bench_eval",
+        lambda **k: _fake(500.0 if _is_default(k) else 100.0),
+    )
+    monkeypatch.setattr(bench, "bench_train", lambda **k: _fake(15.0))
+    stub = types.ModuleType("bench_serving")
+    seen = {}
+
+    def run(ns):
+        seen["serve_batch"] = ns.serve_batch
+        return {"serving_e2e_eps": 459.3, "p50_ms": 474.1, "p99_ms": 716.8}
+
+    stub.run = run
+    monkeypatch.setitem(sys.modules, "bench_serving", stub)
+    monkeypatch.delenv("AVDN_BENCH_SERVING_E2E", raising=False)
+    out = _run_main(bench)
+    assert out["serving_e2e_eps"] == 459.3
+    assert out["serving_e2e_p50_ms"] == 474.1
+    assert out["serving_e2e_p99_ms"] == 716.8
+    assert seen["serve_batch"] == 64  # the PERF.md-recommended point
+    monkeypatch.setenv("AVDN_BENCH_SERVING_E2E", "0")
+    out = _run_main(bench)
+    assert "serving_e2e_eps" not in out
 
 
 def test_default_eval_failure_falls_back_to_exact_headline(bench, monkeypatch):
