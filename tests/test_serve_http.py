@@ -123,6 +123,38 @@ class TestServeHTTP:
         # all four inside one (or at worst two) coalesced device batches
         assert server.service.batches_run - before <= 2
 
+    def test_burst_pipelines_multiple_batches(self, served):
+        """A burst larger than serve_batch forces the dispatcher through
+        ≥2 sequential device batches, i.e. the round-5 software pipeline:
+        batch i+1 is prepared and launched BEFORE batch i's waiters are
+        answered (serve_http._run). Every response must still carry its
+        own items, in order."""
+        base, server, root = served
+        anno = os.path.join(root, "AVDN", "annotations", "train_data.json")
+        items = json.load(open(anno))
+        before = server.service.batches_run
+        results = [None] * 6
+
+        def go(i):
+            # 2 items per request, 6 requests = 12 items >> serve_batch 4
+            reqs = [dict(items[(i + k) % len(items)],
+                         route_index=f"b{i}_{k + 1}") for k in range(2)]
+            results[i] = _post(base + "/navigate", {"items": reqs})
+
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        for i, (code, body) in enumerate(results):
+            assert code == 200
+            assert len(body["predictions"]) == 2
+            for k, rec in enumerate(body["predictions"]):
+                want = (items[(i + k) % len(items)]["map_name"]
+                        + f"__b{i}_{k + 1}")
+                assert rec["instr_id"] == want
+        assert server.service.batches_run - before >= 3  # really pipelined
+
     def test_duplicate_route_index_across_requests(self, served):
         """Two concurrent requests reusing the SAME route_index must not
         cross-wire: the service rewrites ids per request before merging."""
