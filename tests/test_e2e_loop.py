@@ -150,8 +150,19 @@ class TestEndToEnd:
     def test_eval_batch_size_invariance(self, run_dirs, tmp_path_factory):
         """The reference evaluates at DataLoader batch_size=1
         (main.py:118,189,269); we evaluate at --batch_size with wrap-around
-        dedup. Benign deviation (PARITY.md #8): identical metrics at any
-        batch size."""
+        dedup. Benign deviation (PARITY.md #8): identical NAV metrics at
+        any batch size.
+
+        EXCEPTION — the HA metrics are batch-composition-dependent BY
+        REFERENCE SEMANTICS: the reference records human-attention
+        precision/recall/NSS for every item while the batch's episode loop
+        is still running, ended or not (agent.py:673-691; preserved as
+        ``ha_valid = nss_valid & any_alive`` in rollout/engine.py), so an
+        ended episode keeps logging HA rows as long as a LONGER co-batched
+        episode is alive. At batch 1 those extra rows never exist. The
+        round-5 fixture's varied episode lengths exposed this (the old
+        2-episode fixture had equal lengths); HA keys get a loose bound
+        instead of exactness."""
         from avdn_tpu.train.loop import valid
 
         root, _, cfg_path = run_dirs
@@ -166,11 +177,22 @@ class TestEndToEnd:
             metrics[bs] = {k: v for r in recs for k, v in r.items()
                            if k != "step" and isinstance(v, (int, float))}
         assert metrics[1].keys() == metrics[2].keys() and metrics[1]
+        HA_PREFIXES = ("HA_precision/", "HA_recall/", "nss/")
+        assert any(k.startswith(HA_PREFIXES) for k in metrics[1])
         for k in metrics[1]:
-            np.testing.assert_allclose(
-                metrics[1][k], metrics[2][k], rtol=1e-5, atol=1e-6,
-                err_msg=f"metric {k} depends on eval batch size",
-            )
+            if k.startswith(HA_PREFIXES):
+                # quirk-scale variance only (extra post-end rows of an
+                # already-converged saliency head) — bound, not exact
+                np.testing.assert_allclose(
+                    metrics[1][k], metrics[2][k], rtol=0.10, atol=0.05,
+                    err_msg=(f"HA metric {k} moved beyond the post-end "
+                             "recording quirk's scale (agent.py:673-691)"),
+                )
+            else:
+                np.testing.assert_allclose(
+                    metrics[1][k], metrics[2][k], rtol=1e-5, atol=1e-6,
+                    err_msg=f"metric {k} depends on eval batch size",
+                )
 
     def test_train_loop_lstm(self, run_dirs, tmp_path_factory):
         from avdn_tpu.train.loop import train

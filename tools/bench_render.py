@@ -2,8 +2,13 @@
 
 Hoist-proof (quad perturbed per iteration inside the jit loop — PERF.md).
 Run on the TPU: ``python tools/bench_render.py``.
+``--sweep_chunks 32,64,128,224`` instead sweeps the two-pass ``chunk``
+parameter (the pass-A/B lax.map slab width) at crops 320/512 — the render
+einsums are the top eval-path op (PERF.md trace profile), so the slab
+width is the one free tuning knob left.
 """
 
+import argparse
 import time
 
 import numpy as np
@@ -39,6 +44,12 @@ def measure(fn, quads, label):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep_chunks", default="",
+                    help="comma list of two-pass chunk widths to sweep "
+                         "(skips the default exact/subsample rows)")
+    ns = ap.parse_args()
+
     rng = np.random.default_rng(0)
     bank = jnp.asarray(rng.integers(0, 256, (N, HW, HW, 3), np.uint8))
     map_idx = jnp.asarray(rng.integers(0, N, B).astype(np.int32))
@@ -52,6 +63,18 @@ def main():
     quads = jnp.asarray(np.round(np.stack(quads)).astype(np.float32))
     circles = jnp.asarray(rng.uniform(100, 900, (B, 8, 3)).astype(np.float32))
     n_circ = jnp.asarray(rng.integers(0, 8, B).astype(np.int32))
+
+    if ns.sweep_chunks:
+        for crop in (320, 512):
+            for chunk in (int(c) for c in ns.sweep_chunks.split(",")):
+                eff = -(-crop // chunk) * chunk  # entry rounds crop UP
+                measure(
+                    lambda q, c=crop, ch=chunk: render_batch_twopass(
+                        bank, map_idx, q, circles, n_circ, crop_hw=c,
+                        chunk=ch, bf16=True),
+                    quads,
+                    f"two-pass crop={crop}(eff {eff}) bf16 chunk={chunk}")
+        return
 
     t_exact = measure(
         lambda q: render_batch(bank, map_idx, q, circles, n_circ),
